@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The ambient environment routes JAX at a remote TPU tunnel (sitecustomize
+registers the axon plugin and pins JAX_PLATFORMS), so tests must override the
+platform via jax.config *after* import, before any backend initialization.
+Multi-chip sharding paths are validated here exactly as the driver does
+(xla_force_host_platform_device_count); the real-TPU path is exercised by
+bench.py and __graft_entry__.py instead.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
