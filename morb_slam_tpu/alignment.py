@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .lie import matmat, matvec
+
 
 def umeyama(src, dst, weights=None, with_scale=True):
     """Least-squares similarity aligning src -> dst.
@@ -35,17 +37,18 @@ def umeyama(src, dst, weights=None, with_scale=True):
     sc = src - mu_s[..., None, :]
     dc = dst - mu_d[..., None, :]
     # covariance dst^T W src  (3x3)
-    cov = jnp.einsum('...ni,...n,...nj->...ij', dc, w, sc)
+    cov = jnp.einsum('...ni,...n,...nj->...ij', dc, w, sc,
+                     precision='highest')
     U, S, Vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(matmat(U, Vt))
     d = jnp.ones_like(S).at[..., 2].set(jnp.sign(det))
-    R = U @ (d[..., :, None] * Vt)
+    R = matmat(U, d[..., :, None] * Vt)
     var_s = jnp.sum(w * jnp.sum(sc * sc, axis=-1), axis=-1)
     if with_scale:
         s = jnp.sum(S * d, axis=-1) / jnp.clip(var_s, 1e-12, None)
     else:
         s = jnp.ones_like(var_s)
-    t = mu_d - s[..., None] * (R @ mu_s[..., None])[..., 0]
+    t = mu_d - s[..., None] * matvec(R, mu_s)
     return s, R, t
 
 
@@ -62,7 +65,7 @@ def ate_rmse(est, gt, with_scale=False, weights=None):
       (rmse, s, R, t): scalar error and the alignment applied to `est`.
     """
     s, R, t = umeyama(est, gt, weights=weights, with_scale=with_scale)
-    aligned = s * (R @ est[..., None])[..., 0] + t
+    aligned = s * matvec(R, est) + t
     err2 = jnp.sum((aligned - gt) ** 2, axis=-1)
     if weights is not None:
         w = weights / jnp.clip(jnp.sum(weights), 1e-12, None)
