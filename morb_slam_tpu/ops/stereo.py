@@ -1,0 +1,135 @@
+"""Rectified stereo matching: row-band descriptor search + SAD subpixel
+refinement + dispersion-based outlier rejection.
+
+TPU-native replacement for the reference's Frame::ComputeStereoMatches
+(/root/reference/src/Frame.cc:889): instead of per-row candidate buckets and
+scalar loops, a dense (NL, NR) candidate mask (row band, disparity range,
+octave band) gates one Hamming argmin, and the subpixel correlation runs as a
+vmapped 11x11 SAD sweep. Differences from the reference, by design:
+  * SAD refinement samples the full-resolution level-0 images for all
+    keypoints (the reference uses each keypoint's pyramid level); subpixel
+    accuracy is equal or better, and it avoids per-level gathers.
+  * the outlier filter uses the same 1.5*1.4*median rule on SAD dispersion.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import hamming
+
+TH_ORB = (hamming.TH_HIGH + hamming.TH_LOW) // 2  # 75, reference Frame.cc:907
+SAD_W = 5          # SAD half-window (11x11), reference Frame.cc:972
+SAD_L = 5          # disparity slide half-range, reference Frame.cc:976
+
+
+class StereoMatches(NamedTuple):
+    u_right: jnp.ndarray   # (NL,) float32 refined right x at level 0, -1 if none
+    depth: jnp.ndarray     # (NL,) float32 depth, -1 if none
+    valid: jnp.ndarray     # (NL,) bool
+
+
+def match_stereo(feats_l, feats_r, img_l, img_r, scale_factors,
+                 bf: float, min_z: float):
+    """Match left features to right features along rectified rows.
+
+    Args:
+      feats_l, feats_r: frontend.Features of the two images.
+      img_l, img_r: (H, W) float32 level-0 images.
+      scale_factors: (n_levels,) float32 = scale**level.
+      bf: baseline * fx (pixels * meters-ish, reference mbf).
+      min_z: minimum admissible depth (reference: baseline).
+
+    Returns StereoMatches over left feature slots.
+    """
+    uv_l, uv_r = feats_l.uv, feats_r.uv
+    nl = uv_l.shape[0]
+    min_d = 0.0
+    max_d = bf / min_z
+
+    sf_l = scale_factors[feats_l.octave]              # (NL,)
+    # candidate gating — row band scales with left kp octave (Frame.cc:915)
+    dy = jnp.abs(uv_l[:, 1:2] - uv_r[None, :, 1])
+    band = 2.0 * sf_l[:, None]
+    disp = uv_l[:, 0:2][:, 0:1] - uv_r[None, :, 0]
+    oct_ok = jnp.abs(feats_l.octave[:, None] - feats_r.octave[None, :]) <= 1
+    cand = ((dy <= band) & (disp >= min_d) & (disp <= max_d) & oct_ok &
+            feats_l.valid[:, None] & feats_r.valid[None, :])
+
+    dist = hamming.hamming_matrix(feats_l.desc, feats_r.desc)
+    big = jnp.int32(1 << 20)
+    dist = jnp.where(cand, dist, big)
+    best_idx = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
+    matched = best_dist <= TH_ORB
+
+    # ---- subpixel SAD on level-0 images --------------------------------
+    h, w = img_l.shape
+    pad = SAD_W + SAD_L + 2
+    il = jnp.pad(img_l, pad, mode="edge")
+    ir = jnp.pad(img_r, pad, mode="edge")
+    u0_r = uv_r[best_idx, 0]   # matched right x (level 0)
+    y0 = uv_l[:, 1]
+
+    def one(ul, v, ur):
+        yi = jnp.round(v).astype(jnp.int32) + pad
+        xli = jnp.round(ul).astype(jnp.int32) + pad
+        xri = jnp.round(ur).astype(jnp.int32) + pad
+        wl = jax.lax.dynamic_slice(
+            il, (yi - SAD_W, xli - SAD_W), (2 * SAD_W + 1, 2 * SAD_W + 1))
+        wl = wl - wl[SAD_W, SAD_W]
+        wr_wide = jax.lax.dynamic_slice(
+            ir, (yi - SAD_W, xri - SAD_W - SAD_L),
+            (2 * SAD_W + 1, 2 * SAD_W + 1 + 2 * SAD_L))
+        # 2L+1 candidate windows
+        sads = []
+        for k in range(2 * SAD_L + 1):
+            wr = jax.lax.dynamic_slice_in_dim(wr_wide, k, 2 * SAD_W + 1, axis=1)
+            wr = wr - wr[SAD_W, SAD_W]
+            sads.append(jnp.sum(jnp.abs(wl - wr)))
+        sads = jnp.stack(sads)
+        k_best = jnp.argmin(sads)
+        # parabola fit on (k-1, k, k+1) (Frame.cc:1013)
+        km = jnp.clip(k_best - 1, 0, 2 * SAD_L)
+        kp_ = jnp.clip(k_best + 1, 0, 2 * SAD_L)
+        s0, s1, s2 = sads[km], sads[k_best], sads[kp_]
+        denom = s0 + s2 - 2 * s1
+        delta = jnp.where(jnp.abs(denom) > 1e-6,
+                          (s0 - s2) / (2 * jnp.where(jnp.abs(denom) > 1e-6,
+                                                     denom, 1.0)), 0.0)
+        delta = jnp.clip(delta, -1.0, 1.0)
+        interior = (k_best > 0) & (k_best < 2 * SAD_L)
+        delta = jnp.where(interior, delta, 0.0)
+        ur_ref = ur + (k_best.astype(jnp.float32) - SAD_L) + delta
+        return ur_ref, s1
+
+    ur_refined, sad_best = jax.vmap(one)(uv_l[:, 0], y0, u0_r)
+    disparity = uv_l[:, 0] - ur_refined
+    matched &= (disparity > min_d) & (disparity < max_d)
+
+    # ---- dispersion outlier filter (Frame.cc:1045: 1.5*1.4*median) -----
+    sad_sorted = jnp.sort(jnp.where(matched, sad_best, jnp.inf))
+    n_m = jnp.sum(matched)
+    median = sad_sorted[jnp.clip(n_m // 2, 0, nl - 1)]
+    keep = matched & (sad_best <= 1.5 * 1.4 * median)
+
+    depth = jnp.where(keep, bf / jnp.where(keep, disparity, 1.0), -1.0)
+    u_right = jnp.where(keep, ur_refined, -1.0)
+    return StereoMatches(u_right=u_right, depth=depth, valid=keep)
+
+
+def depth_from_rgbd(feats, depth_map, bf: float):
+    """RGB-D path: read depth at keypoint locations, synthesize virtual right
+    coords (reference Frame::ComputeStereoFromRGBD)."""
+    ui = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), 0,
+                  depth_map.shape[1] - 1)
+    vi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), 0,
+                  depth_map.shape[0] - 1)
+    d = depth_map[vi, ui]
+    valid = feats.valid & (d > 0)
+    u_right = jnp.where(valid, feats.uv[:, 0] - bf / jnp.where(d > 0, d, 1.0),
+                        -1.0)
+    return StereoMatches(u_right=u_right,
+                         depth=jnp.where(valid, d, -1.0), valid=valid)

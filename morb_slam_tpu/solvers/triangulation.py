@@ -1,0 +1,84 @@
+"""Batched DLT triangulation.
+
+TPU-native replacement for GeometricTools::Triangulate
+(/root/reference/src/GeometricTools.cc, include/GeometricTools.h:34-44): the
+4x4 DLT system is solved for whole batches of correspondences at once via
+eigh of A^T A (cheaper and more TPU-friendly than SVD of A).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import lie
+
+
+def projection_matrix(R, t):
+    """(R (...,3,3), t (...,3)) world->camera transform to P = [R | t]."""
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def triangulate(x1, x2, P1, P2):
+    """DLT triangulation of normalized image points.
+
+    Args:
+      x1, x2: (..., 2) normalized coords (x/z, y/z) in cameras 1, 2.
+      P1, P2: (..., 3, 4) projection matrices (world -> normalized image).
+    Returns:
+      (..., 3) world points.
+    """
+    rows = [
+        x1[..., 0:1] * P1[..., 2, :] - P1[..., 0, :],
+        x1[..., 1:2] * P1[..., 2, :] - P1[..., 1, :],
+        x2[..., 0:1] * P2[..., 2, :] - P2[..., 0, :],
+        x2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :],
+    ]
+    A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
+    # A is (..., 4, 4); smallest right-singular vector of A == eigenvector of
+    # A^T A with smallest eigenvalue (eigh returns ascending order).
+    AtA = jnp.einsum('...ij,...ik->...jk', A, A, precision='highest')
+    _, V = jnp.linalg.eigh(AtA)
+    X = V[..., :, 0]
+    w = X[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w_safe[..., None]
+
+
+def triangulate_two_view(x1, x2, R21, t21):
+    """Triangulate with camera 1 at identity and camera 2 at (R21, t21)
+    (world = camera-1 frame). Returns points in camera-1 frame."""
+    batch = x1.shape[:-1]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=x1.dtype), batch + (3, 3))
+    zero = jnp.zeros(batch + (3,), x1.dtype)
+    P1 = projection_matrix(eye, zero)
+    P2 = projection_matrix(jnp.broadcast_to(R21, batch + (3, 3)),
+                           jnp.broadcast_to(t21, batch + (3,)))
+    return triangulate(x1, x2, P1, P2)
+
+
+def depth_and_reproj_checks(X, x1, x2, R21, t21, th2: float):
+    """Cheirality + reprojection gates used by two-view init and new-point
+    creation (reference TwoViewReconstruction::CheckRT, CreateNewMapPoints).
+
+    Args:
+      X: (..., 3) points in camera-1 frame; x1/x2 (..., 2) normalized obs.
+    Returns:
+      (good (...,) bool, parallax_cos (...,))
+    """
+    z1 = X[..., 2]
+    X2 = lie.matvec(R21, X) + t21
+    z2 = X2[..., 2]
+    e1 = X[..., :2] / jnp.where(jnp.abs(z1[..., None]) < 1e-12, 1e-12,
+                                z1[..., None]) - x1
+    e2 = X2[..., :2] / jnp.where(jnp.abs(z2[..., None]) < 1e-12, 1e-12,
+                                 z2[..., None]) - x2
+    r1 = jnp.sum(e1 * e1, axis=-1)
+    r2 = jnp.sum(e2 * e2, axis=-1)
+    # parallax between rays from the two camera centers
+    c2 = -lie.matvec(jnp.swapaxes(R21, -1, -2), t21)  # camera-2 center in cam1
+    ray1 = X
+    ray2 = X - c2
+    cosp = jnp.sum(ray1 * ray2, axis=-1) / jnp.clip(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1),
+        1e-12, None)
+    good = (z1 > 0) & (z2 > 0) & (r1 < th2) & (r2 < th2)
+    return good, cosp
