@@ -1,0 +1,247 @@
+"""Bundle adjustment: robustified Levenberg-Marquardt with Schur-complement
+reduction over landmarks, built for the MXU.
+
+TPU-native replacement for the reference's g2o-based
+Optimizer::LocalBundleAdjustment / BundleAdjustment / GlobalBundleAdjustemnt
+(/root/reference/src/Optimizer.cc:56,1053) and g2o's BlockSolver_6_3 with
+Schur (Thirdparty/g2o/g2o/core/block_solver.h). Design (SURVEY.md §7 B3):
+
+  * observations are fixed-capacity COO arrays (obs_kf, obs_lm, uv, info,
+    mask) — Jacobian blocks are computed for all observations at once;
+  * per-entity Hessian blocks accumulate via segment_sum;
+  * the landmark block-diagonal Hll is inverted in closed form (3x3);
+  * the reduced camera system S = Hpp - B Hll^-1 B^T is formed DENSELY —
+    the window is small (<= a few dozen keyframes), so the (6K, 6K) system
+    is tiny and the B-products are plain MXU matmuls; no sparse bookkeeping;
+  * LM damping with accept/reject runs as a fixed-iteration scan.
+
+Pose convention matches pose_opt: T_cw, left-composed update
+T <- exp(dx) T; landmark update X <- X + dx.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from .robust import huber_weight
+
+HUBER2_MONO = 5.991      # reference thHuberMonocular^2 (Optimizer.cc:1175)
+HUBER2_STEREO = 7.815
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem.
+
+    R, t: (K, 3, 3), (K, 3) keyframe poses T_cw.
+    X: (L, 3) landmark positions (world).
+    obs_kf, obs_lm: (O,) int32 indices into the above.
+    obs_uv: (O, 2) normalized image coords.
+    obs_ur: (O,) normalized right-u for stereo rows; NaN for mono.
+    obs_info: (O,) information (focal/sigma)^2.
+    obs_mask: (O,) bool.
+    kf_opt: (K,) bool — False = pose held fixed (frontier anchors).
+    lm_opt: (L,) bool — False = landmark held fixed.
+    baseline: () stereo baseline (meters).
+    """
+    R: jnp.ndarray
+    t: jnp.ndarray
+    X: jnp.ndarray
+    obs_kf: jnp.ndarray
+    obs_lm: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_ur: jnp.ndarray
+    obs_info: jnp.ndarray
+    obs_mask: jnp.ndarray
+    kf_opt: jnp.ndarray
+    lm_opt: jnp.ndarray
+    baseline: jnp.ndarray
+
+
+def make_problem(R, t, X, obs_kf, obs_lm, obs_uv, obs_info, obs_mask,
+                 kf_opt, lm_opt, obs_ur=None, baseline=0.0) -> BAProblem:
+    O = obs_uv.shape[0]
+    if obs_ur is None:
+        obs_ur = jnp.full((O,), jnp.nan, obs_uv.dtype)
+    return BAProblem(R=R, t=t, X=X, obs_kf=obs_kf, obs_lm=obs_lm,
+                     obs_uv=obs_uv, obs_ur=obs_ur, obs_info=obs_info,
+                     obs_mask=obs_mask, kf_opt=kf_opt, lm_opt=lm_opt,
+                     baseline=jnp.asarray(baseline, obs_uv.dtype))
+
+
+def _obs_terms(p: BAProblem, R, t, X, robust: bool):
+    """Per-observation residuals, Jacobians and weights.
+
+    Returns r (O, 3), Jp (O, 3, 6), Jl (O, 3, 3), w (O,), chi2 (O,).
+    Third residual row is the stereo right-u (zeroed for mono rows).
+    """
+    Rk = R[p.obs_kf]
+    tk = t[p.obs_kf]
+    Xl = X[p.obs_lm]
+    Xc = lie.se3_apply(Rk, tk, Xl)
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    is_stereo = jnp.isfinite(p.obs_ur)
+    r2 = Xc[..., :2] * iz[..., None] - p.obs_uv
+    r_ur = jnp.where(is_stereo, (x - p.baseline) * iz - jnp.nan_to_num(p.obs_ur),
+                     0.0)
+    r = jnp.concatenate([r2, r_ur[..., None]], axis=-1)
+
+    zero = jnp.zeros_like(z)
+    J_pt = jnp.stack([
+        jnp.stack([iz, zero, -x * iz2], axis=-1),
+        jnp.stack([zero, iz, -y * iz2], axis=-1),
+        jnp.stack([jnp.where(is_stereo, iz, zero), zero,
+                   jnp.where(is_stereo, -(x - p.baseline) * iz2, zero)],
+                  axis=-1),
+    ], axis=-2)                                      # (O, 3, 3) d r/d Xc
+    J_se3 = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3)),
+         -lie.so3_hat(Xc)], axis=-1)                 # (O, 3, 6)
+    Jp = jnp.einsum('oij,ojk->oik', J_pt, J_se3)     # (O, 3, 6)
+    Jl = jnp.einsum('oij,ojk->oik', J_pt, Rk)        # (O, 3, 3)
+
+    chi2 = jnp.sum(r * r, axis=-1) * p.obs_info
+    delta2 = jnp.where(is_stereo, HUBER2_STEREO, HUBER2_MONO)
+    w_rob = huber_weight(chi2, delta2) if robust else jnp.ones_like(chi2)
+    w = p.obs_info * w_rob * p.obs_mask * (z > 0)
+    return r, Jp, Jl, w, chi2
+
+
+def _cost(p: BAProblem, R, t, X):
+    r, _, _, w, _ = _obs_terms(p, R, t, X, robust=True)
+    # Huber cost ~ w * chi2 is the IRLS surrogate; good enough for accept/reject
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
+def _inv3x3(M):
+    """Closed-form batched 3x3 inverse via adjugate (no LU dispatch)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([jnp.stack([A, B, C], -1),
+                     jnp.stack([D, E, F], -1),
+                     jnp.stack([G, H, I], -1)], -2)
+    return adj / det[..., None, None]
+
+
+def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
+    """Levenberg-Marquardt with dense-window Schur reduction.
+
+    Returns (R, t, X, info) where info carries per-iteration costs.
+    """
+    K = p.R.shape[0]
+    L = p.X.shape[0]
+    f32 = p.obs_uv.dtype
+    kf_opt_f = p.kf_opt.astype(f32)
+    lm_opt_f = p.lm_opt.astype(f32)
+
+    def lm_step(R, t, X, lam):
+        r, Jp, Jl, w, _ = _obs_terms(p, R, t, X, robust=True)
+
+        # per-entity blocks via segment sums
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum('oia,o,oib->oab', Jp, w, Jp, precision='highest'),
+            p.obs_kf, num_segments=K)                         # (K, 6, 6)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum('oia,o,oib->oab', Jl, w, Jl, precision='highest'),
+            p.obs_lm, num_segments=L)                         # (L, 3, 3)
+        bp = -jax.ops.segment_sum(
+            jnp.einsum('oia,o,oi->oa', Jp, w, r, precision='highest'),
+            p.obs_kf, num_segments=K)                         # (K, 6)
+        bl = -jax.ops.segment_sum(
+            jnp.einsum('oia,o,oi->oa', Jl, w, r, precision='highest'),
+            p.obs_lm, num_segments=L)                         # (L, 3)
+        Wpl = jnp.einsum('oia,o,oib->oab', Jp, w, Jl,
+                         precision='highest')                 # (O, 6, 3)
+
+        # damping (LM): scale diagonals
+        eyeK = jnp.eye(6, dtype=f32)
+        eyeL = jnp.eye(3, dtype=f32)
+        Hpp = Hpp + lam * eyeK * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeK
+        Hll_d = Hll + lam * eyeL * jnp.maximum(
+            jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeL
+
+        # fixed landmarks: make their block identity, rhs zero
+        Hll_d = jnp.where(p.lm_opt[:, None, None], Hll_d,
+                          jnp.broadcast_to(eyeL, Hll_d.shape))
+        bl = bl * lm_opt_f[:, None]
+        Hll_inv = _inv3x3(Hll_d)                              # (L, 3, 3)
+
+        # dense B (6K, 3L) via scatter of per-obs blocks
+        B = jnp.zeros((K, 6, L, 3), f32)
+        B = B.at[p.obs_kf, :, p.obs_lm, :].add(
+            Wpl * p.obs_mask[:, None, None])
+        B = B.reshape(K * 6, L, 3)
+
+        # S = Hpp_dense - B Hll^-1 B^T   (MXU)
+        BC = jnp.einsum('mlb,lbc->mlc', B, Hll_inv,
+                        precision='highest')                  # (6K, L, 3)
+        S_off = jnp.einsum('mlc,nlc->mn', BC.reshape(K * 6, L, 3),
+                           B.reshape(K * 6, L, 3), precision='highest')
+        Hpp_dense = jnp.zeros((K, 6, K, 6), f32)
+        Hpp_dense = Hpp_dense.at[jnp.arange(K), :, jnp.arange(K), :].set(Hpp)
+        S = Hpp_dense.reshape(K * 6, K * 6) - S_off
+        b_schur = (bp.reshape(K * 6)
+                   - jnp.einsum('mlc,lc->m', BC, bl, precision='highest'))
+
+        # fixed keyframes: identity rows/cols, zero rhs
+        free = jnp.repeat(kf_opt_f, 6)
+        S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        b_schur = b_schur * free
+
+        dxp = jnp.linalg.solve(S, b_schur)                    # (6K,)
+        # back-substitute landmarks: dxl = Hll^-1 (bl - B^T dxp)
+        Btdxp = jnp.einsum('mlc,m->lc', B, dxp, precision='highest')
+        dxl = jnp.einsum('lab,lb->la', Hll_inv, bl - Btdxp,
+                         precision='highest') * lm_opt_f[:, None]
+        dxp = dxp.reshape(K, 6) * kf_opt_f[:, None]
+
+        dR, dt = lie.se3_exp(dxp)
+        R_new, t_new = lie.se3_mul(dR, dt, R, t)
+        X_new = X + dxl
+        return R_new, t_new, X_new
+
+    def iteration(carry, _):
+        R, t, X, lam, cost = carry
+        R_new, t_new, X_new = lm_step(R, t, X, lam)
+        new_cost = _cost(p, R_new, t_new, X_new)
+        accept = new_cost < cost
+        R, t, X = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), (R_new, t_new, X_new),
+            (R, t, X))
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e4)
+        return (R, t, X, lam, cost), cost
+
+    cost0 = _cost(p, p.R, p.t, p.X)
+    (R, t, X, lam, cost), costs = jax.lax.scan(
+        iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
+        None, length=n_iters)
+    return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
+
+
+def classify_outliers(p: BAProblem, R, t, X):
+    """Final chi2 classification (reference: erase observations with
+    chi2 > 5.991/7.815 after local BA, Optimizer.cc:1350-1400)."""
+    _, _, _, _, chi2 = _obs_terms(p, R, t, X, robust=False)
+    is_stereo = jnp.isfinite(p.obs_ur)
+    th = jnp.where(is_stereo, HUBER2_STEREO, HUBER2_MONO)
+    return p.obs_mask & (chi2 < th)
