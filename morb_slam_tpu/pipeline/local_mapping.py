@@ -1,0 +1,291 @@
+"""Per-keyframe mapping pipeline: new-landmark triangulation, statistics
+refresh, landmark culling and local bundle adjustment — jitted programs over
+the functional MapState.
+
+TPU-native replacement for the reference's LocalMapping thread body
+(/root/reference/src/LocalMapping.cc:76-313): ProcessNewKeyFrame (:326),
+CreateNewMapPoints (:403, epipolar search + triangulation against the best
+covisible neighbors), MapPointCulling (:368), SearchInNeighbors fuse (:713)
+and LocalBundleAdjustment (Optimizer.cc:1053). The reference runs these in a
+free-running thread with queues and an interruptible g2o solve; here the
+whole per-keyframe pipeline is a deterministic functional update of MapState
+invoked after each keyframe insertion (jit dispatch is already async, so the
+host can overlap it with the next frames' tracking).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie, matching
+from ..mapstate import state as ms
+from ..optim import ba
+from ..solvers import triangulation
+
+# static capacities
+N_TRI_NEIGHBORS = 5       # covisible neighbors for triangulation
+                          # (reference nn=20 mono; 5 covers most new ground)
+BA_WINDOW = 12            # optimized KFs in local BA
+BA_FIXED = 8              # frontier KFs held fixed
+MAX_LOCAL_LM = 6144
+MAX_NEW_PER_PAIR = 384    # new landmarks accepted per neighbor pair
+
+
+class LocalMapConfig(NamedTuple):
+    focal: float
+    scale: float = 1.2
+    n_levels: int = 8
+
+    @property
+    def sigma2_inv(self):
+        """Per-octave information (reference mvInvLevelSigma2)."""
+        return 1.0 / (self.scale ** (2 * jnp.arange(self.n_levels,
+                                                    dtype=jnp.float32)))
+
+
+def _relative_pose(R1, t1, R2, t2):
+    """T_21 = T_2w T_1w^-1 for world->cam poses."""
+    R21 = lie.matmat(R2, jnp.swapaxes(R1, -1, -2))
+    t21 = t2 - lie.matvec(R21, t1)
+    return R21, t21
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig):
+    """Triangulate new landmarks between KF `kf_id` and its best covisible
+    neighbors (reference LocalMapping::CreateNewMapPoints,
+    LocalMapping.cc:403)."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    n_neigh = min(N_TRI_NEIGHBORS, K - 1)
+    neigh_idx, neigh_ok = ms.local_window(m, kf_id, n_neigh + 1,
+                                          min_weight=10)
+    neigh_idx, neigh_ok = neigh_idx[1:], neigh_ok[1:]   # drop self
+
+    xn1 = m.kf_feat_xn[kf_id]
+    desc1 = m.kf_feat_desc[kf_id]
+    oct1 = m.kf_feat_octave[kf_id]
+    valid1 = m.kf_feat_valid[kf_id]
+    R1, t1 = m.kf_R[kf_id], m.kf_t[kf_id]
+
+    def per_neighbor(m, nkf, ok):
+        free1 = m.kf_feat_lm[kf_id] < 0
+        R2, t2 = m.kf_R[nkf], m.kf_t[nkf]
+        R21, t21 = _relative_pose(R1, t1, R2, t2)
+        E12 = lie.matmat(lie.so3_hat(t21), R21)
+        baseline = jnp.linalg.norm(t21)
+        idx = matching.search_for_triangulation(
+            xn1, desc1, oct1, valid1, free1,
+            m.kf_feat_xn[nkf], m.kf_feat_desc[nkf], m.kf_feat_octave[nkf],
+            m.kf_feat_valid[nkf], m.kf_feat_lm[nkf] < 0,
+            E12, cfg.focal, cfg.scale)
+        matched = (idx >= 0) & ok & (baseline > 0.01)
+        j = jnp.clip(idx, 0, None)
+        x2 = m.kf_feat_xn[nkf][j]
+        X1 = triangulation.triangulate_two_view(xn1, x2, R21, t21)
+        good, cosp = triangulation.depth_and_reproj_checks(
+            X1, xn1, x2, R21, t21, th2=5.991 / cfg.focal ** 2)
+        good = good & (cosp < 0.9998) & matched
+        Rwc1 = R1.T
+        Xw = lie.se3_apply(Rwc1, -lie.matvec(Rwc1, t1), X1)
+
+        score = jnp.where(good, 1.0 - cosp, -1.0)
+        _, sel = jax.lax.top_k(score, MAX_NEW_PER_PAIR)
+        sel_good = good[sel]
+        # allocate into FREE slots (culled slots are reused — an append-only
+        # high-water allocator exhausts capacity and silently stops mapping)
+        free_score = (~m.lm_valid).astype(jnp.int32)
+        n_free_ok, free_slots = jax.lax.top_k(free_score, MAX_NEW_PER_PAIR)
+        rank = jnp.cumsum(sel_good.astype(jnp.int32)) - 1
+        sel_good = sel_good & (n_free_ok == 1)[jnp.clip(rank, 0, None)]
+        slot = jnp.where(sel_good, free_slots[jnp.clip(rank, 0, None)], L)
+
+        feat1 = sel
+        feat2 = j[sel]
+        dist1 = jnp.linalg.norm(
+            Xw[sel] + lie.matvec(Rwc1, t1)[None, :], axis=-1)
+        dmax = dist1 * cfg.scale ** oct1[feat1].astype(jnp.float32)
+        m = m._replace(
+            lm_pos=m.lm_pos.at[slot].set(
+                jnp.where(sel_good[:, None], Xw[sel], m.lm_pos[slot])),
+            lm_valid=m.lm_valid.at[slot].set(sel_good | m.lm_valid[slot]),
+            lm_ref_kf=m.lm_ref_kf.at[slot].set(
+                jnp.where(sel_good, kf_id, m.lm_ref_kf[slot])),
+            lm_first_kf=m.lm_first_kf.at[slot].set(
+                jnp.where(sel_good, kf_id, m.lm_first_kf[slot])),
+            lm_desc=m.lm_desc.at[slot].set(
+                jnp.where(sel_good[:, None], desc1[feat1], m.lm_desc[slot])),
+            lm_dist_max=m.lm_dist_max.at[slot].set(
+                jnp.where(sel_good, dmax, m.lm_dist_max[slot])),
+            lm_visible=m.lm_visible.at[slot].set(
+                jnp.where(sel_good, 1, m.lm_visible[slot])),
+            lm_found=m.lm_found.at[slot].set(
+                jnp.where(sel_good, 1, m.lm_found[slot])),
+            kf_feat_lm=m.kf_feat_lm
+                .at[kf_id, feat1].set(
+                    jnp.where(sel_good, slot, m.kf_feat_lm[kf_id, feat1]))
+                .at[nkf, feat2].set(
+                    jnp.where(sel_good, slot, m.kf_feat_lm[nkf, feat2])),
+            n_lm=m.n_lm + jnp.sum(sel_good),
+        )
+        return m
+
+    for i in range(n_neigh):
+        m = per_neighbor(m, neigh_idx[i], neigh_ok[i])
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def fuse_in_neighbors(m: ms.MapState, kf_id, cam_params, cam_kind,
+                      cfg: LocalMapConfig):
+    """Project the current KF's landmarks into covisible neighbor KFs and
+    bind them to free features there (and the reverse direction), so young
+    landmarks accumulate the observations that keep them alive through
+    culling. Replaces LocalMapping::SearchInNeighbors + ORBmatcher::Fuse
+    (reference LocalMapping.cc:713, ORBmatcher.cc:1044). Without this, every
+    pair-triangulated point dies at the age-2 / 3-observation cull."""
+    from .. import cameras
+    cam = cameras.Camera(cam_kind, cam_params)
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    n_neigh = min(N_TRI_NEIGHBORS, K - 1)
+    neigh_idx, neigh_ok = ms.local_window(m, kf_id, n_neigh + 1,
+                                          min_weight=10)
+    neigh_idx, neigh_ok = neigh_idx[1:], neigh_ok[1:]
+
+    def fuse_into(m, src_kf, dst_kf, ok):
+        """Bind src KF's landmarks to free features of dst KF."""
+        lm_ids = m.kf_feat_lm[src_kf]                      # (F,)
+        lm_ok = (lm_ids >= 0) & m.kf_feat_valid[src_kf] & ok
+        ids = jnp.clip(lm_ids, 0, None)
+        # already observed in dst? skip (scan dst's slots)
+        dst_lm = m.kf_feat_lm[dst_kf]
+        seen = jnp.zeros(L + 1, bool).at[
+            jnp.where(dst_lm >= 0, dst_lm, L)].set(True)
+        lm_ok &= ~seen[ids]
+        res = matching.search_by_projection(
+            m.lm_pos[ids], m.lm_normal[ids], m.lm_dist_max[ids],
+            m.lm_desc[ids], lm_ok & m.lm_valid[ids],
+            m.kf_R[dst_kf], m.kf_t[dst_kf],
+            lambda Xc: cameras.project(cam, Xc),
+            m.kf_feat_uv[dst_kf], m.kf_feat_octave[dst_kf],
+            m.kf_feat_desc[dst_kf],
+            m.kf_feat_valid[dst_kf] & (dst_lm < 0),
+            (10000, 10000), radius_px=3.0, scale=cfg.scale,
+            n_levels=cfg.n_levels, max_dist_th=50, ratio=1.0)
+        new_lm = jnp.where(res.feat_lm >= 0,
+                           ids[jnp.clip(res.feat_lm, 0, None)], dst_lm)
+        return m._replace(kf_feat_lm=m.kf_feat_lm.at[dst_kf].set(new_lm))
+
+    for i in range(n_neigh):
+        m = fuse_into(m, kf_id, neigh_idx[i], neigh_ok[i])
+        m = fuse_into(m, neigh_idx[i], kf_id, neigh_ok[i])
+    return m
+
+
+@jax.jit
+def cull_landmarks(m: ms.MapState, kf_id):
+    """Recent-landmark culling (reference LocalMapping::MapPointCulling,
+    LocalMapping.cc:368): found/visible ratio < 0.25, or young landmarks
+    that failed to accumulate observations."""
+    n_obs = ms.lm_obs_count(m)
+    age = kf_id - m.lm_first_kf
+    ratio = m.lm_found.astype(jnp.float32) / jnp.clip(
+        m.lm_visible.astype(jnp.float32), 1.0, None)
+    seen_enough = jnp.where(age >= 2, n_obs >= 3, True)
+    ratio_ok = jnp.where(m.lm_visible > 4, ratio > 0.25, True)
+    keep = m.lm_valid & seen_enough & ratio_ok & (n_obs >= 1)
+    L = m.lm_valid.shape[0]
+    dropped_lookup = jnp.concatenate([~keep, jnp.asarray([False])])
+    slot_lm = jnp.where(m.kf_feat_lm >= 0, m.kf_feat_lm, L)
+    detach = dropped_lookup[slot_lm]
+    return m._replace(lm_valid=keep,
+                      kf_feat_lm=jnp.where(detach, -1, m.kf_feat_lm))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
+    """Local BA over the covisible window (reference
+    Optimizer::LocalBundleAdjustment, Optimizer.cc:1053): window KFs
+    optimized, frontier anchors fixed, local landmarks refined; outlier
+    observations detached afterwards (Optimizer.cc:1350-1400)."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    KW = min(BA_WINDOW + BA_FIXED, K)
+    n_opt = min(BA_WINDOW, K)
+    win_idx, win_ok = ms.local_window(m, kf_id, KW, min_weight=10)
+    # fix the two oldest KFs in the window: one fixed camera leaves the
+    # monocular scale gauge free and the map inflates run-away (observed
+    # x3 in 4 keyframes); two pinned poses pin the scale
+    oldest = jnp.sort(jnp.where(win_ok, win_idx, 1 << 30))[:2]
+    opt_mask = (win_ok & (jnp.arange(KW) < n_opt) & (win_idx != 0)
+                & (win_idx != oldest[0]) & (win_idx != oldest[1]))
+
+    slot_lm = jnp.where(m.kf_feat_lm >= 0, m.kf_feat_lm, L)
+    win_slots = jnp.where(win_ok[:, None], slot_lm[win_idx], L)   # (KW, F)
+
+    # local landmark set
+    lm_in = jnp.zeros(L + 1, bool).at[win_slots.reshape(-1)].set(True)
+    lm_in = lm_in[:L] & m.lm_valid
+    n_local = min(MAX_LOCAL_LM, L)
+    _, lm_sel = jax.lax.top_k(lm_in.astype(jnp.int32), n_local)
+    lm_sel_ok = lm_in[lm_sel]
+    g2l = jnp.full(L + 1, -1, jnp.int32).at[lm_sel].set(
+        jnp.where(lm_sel_ok, jnp.arange(n_local, dtype=jnp.int32), -1))
+
+    obs_lm_local = g2l[win_slots]                                 # (KW, F)
+    obs_ok = (obs_lm_local >= 0) & m.kf_feat_valid[win_idx] & win_ok[:, None]
+    inv_sig2 = cfg.sigma2_inv[jnp.clip(m.kf_feat_octave[win_idx], 0,
+                                       cfg.n_levels - 1)]
+    info = (cfg.focal ** 2) * inv_sig2                            # (KW, F)
+
+    prob = ba.make_problem(
+        R=m.kf_R[win_idx], t=m.kf_t[win_idx],
+        X=m.lm_pos[lm_sel],
+        obs_kf=jnp.broadcast_to(
+            jnp.arange(KW, dtype=jnp.int32)[:, None], (KW, F)).reshape(-1),
+        obs_lm=jnp.clip(obs_lm_local, 0, None).reshape(-1),
+        obs_uv=m.kf_feat_xn[win_idx].reshape(KW * F, 2),
+        obs_info=info.reshape(-1),
+        obs_mask=obs_ok.reshape(-1),
+        kf_opt=opt_mask,
+        lm_opt=lm_sel_ok,
+        obs_ur=m.kf_feat_ur[win_idx].reshape(-1),
+    )
+    Rn, tn, Xn, _ = ba.ba_solve(prob, n_iters=8)
+
+    # write back
+    m = m._replace(
+        kf_R=m.kf_R.at[win_idx].set(
+            jnp.where(opt_mask[:, None, None], Rn, m.kf_R[win_idx])),
+        kf_t=m.kf_t.at[win_idx].set(
+            jnp.where(opt_mask[:, None], tn, m.kf_t[win_idx])),
+        lm_pos=m.lm_pos.at[lm_sel].set(
+            jnp.where(lm_sel_ok[:, None], Xn, m.lm_pos[lm_sel])),
+    )
+
+    # outlier detachment
+    keep = ba.classify_outliers(prob._replace(R=Rn, t=tn, X=Xn), Rn, tn, Xn)
+    drop = (~keep.reshape(KW, F)) & obs_ok
+    new_feat_lm = jnp.where(drop, -1, m.kf_feat_lm[win_idx])
+    m = m._replace(
+        kf_feat_lm=m.kf_feat_lm.at[win_idx].set(
+            jnp.where(win_ok[:, None], new_feat_lm, m.kf_feat_lm[win_idx])))
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def mapping_step(m: ms.MapState, kf_id, cam_params, cam_kind,
+                 cfg: LocalMapConfig):
+    """Full per-keyframe mapping pipeline (reference LocalMapping::Run body):
+    triangulate -> fuse -> cull -> local BA -> refresh stats."""
+    m = create_new_landmarks(m, kf_id, cfg)
+    m = ms.update_landmark_stats(m)
+    m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
+    m = cull_landmarks(m, kf_id)
+    m = local_bundle_adjustment(m, kf_id, cfg)
+    m = ms.update_landmark_stats(m)
+    return m

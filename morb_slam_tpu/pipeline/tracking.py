@@ -1,0 +1,489 @@
+"""The frame-rate tracking state machine (monocular path).
+
+TPU-native replacement for the reference's Tracking thread
+(/root/reference/src/Tracking.cc): Track() state machine (:1696),
+MonocularInitialization (:2278) + CreateInitialMapMonocular (:2345),
+TrackWithMotionModel (:2655), TrackReferenceKeyFrame (:2535), TrackLocalMap
+(:2745) and NeedNewKeyFrame (:2840). Host Python handles only the state
+transitions and keyframe decisions; every per-frame compute step is one of
+two jitted programs (extract, track) over fixed-capacity arrays, keeping the
+per-frame path at <= 2 device dispatches (SURVEY.md §7 hard part #4).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cameras, frontend, lie, matching
+from ..ops import hamming
+from ..mapstate import state as ms
+from ..optim import ba, pose_opt
+from ..solvers import two_view
+from . import local_mapping
+
+MAX_LOCAL_LM = 4096
+LOCAL_KFS = 10
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    width: int
+    height: int
+    focal: float
+    n_feat: int = 1200
+    max_kf: int = 512
+    max_lm: int = 32768
+    scale: float = 1.2
+    n_levels: int = 8
+    min_init_matches: int = 100
+    min_init_points: int = 50
+    min_track_points: int = 10
+    min_local_points: int = 30
+    kf_ref_ratio: float = 0.9
+    max_kf_interval: int = 30
+    # Fraction of the measured inter-frame ROTATION carried into the
+    # constant-velocity prediction. The reference predicts with the full
+    # rotation (Tracking.cc mVelocity); we default to 0 because a rotation
+    # overshoot moves every projection coherently, and the windowed search
+    # then finds a self-consistent wrong association set (observed ~1
+    # deg/frame self-confirming drift). Translation prediction keeps the
+    # motion-model benefit without that failure mode.
+    vel_rot_damp: float = 0.0
+
+    @property
+    def orb(self):
+        return frontend.OrbConfig(n_features=self.n_feat,
+                                  n_levels=self.n_levels, scale=self.scale)
+
+    @property
+    def lm_cfg(self):
+        return local_mapping.LocalMapConfig(
+            focal=self.focal, scale=self.scale, n_levels=self.n_levels)
+
+
+class FrameData(NamedTuple):
+    uv: jnp.ndarray        # (F, 2) undistorted pixel coords
+    xn: jnp.ndarray        # (F, 2) normalized camera coords
+    octave: jnp.ndarray
+    angle: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class TrackOutput(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    feat_lm: jnp.ndarray   # (F,) final landmark association (outliers cleared)
+    n_mm: jnp.ndarray      # matches from motion model stage
+    n_inl: jnp.ndarray     # final local-map inliers
+    m: ms.MapState         # map with updated visible/found counters
+    ref_kf: jnp.ndarray    # new reference keyframe id
+
+
+# ---------------------------------------------------------------------------
+# jitted stages
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def extract_frame(img, cam_params, cam_kind, cfg: TrackerConfig) -> FrameData:
+    cam = cameras.Camera(cam_kind, cam_params)
+    feats = frontend.extract_orb(img, cfg.orb)
+    uv = cameras.undistort_points(cam, feats.uv)
+    mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
+    my = (uv[:, 1] - cam_params[3]) / cam_params[1]
+    xn = jnp.stack([mx, my], axis=-1)
+    return FrameData(uv=uv, xn=xn, octave=feats.octave, angle=feats.angle,
+                     desc=feats.desc, valid=feats.valid)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_frame(m: ms.MapState, fr: FrameData, last: FrameData,
+                last_feat_lm, R_last, t_last, vel_R, vel_t, ref_kf,
+                cam_params, cam_kind, cfg: TrackerConfig) -> TrackOutput:
+    """Motion-model matching + pose opt + local-map tracking, one program.
+
+    Mirrors reference TrackWithMotionModel (Tracking.cc:2655) then
+    TrackLocalMap (:2745)."""
+    cam = cameras.Camera(cam_kind, cam_params)
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    inv_sig2 = cfg.lm_cfg.sigma2_inv
+    info_of = lambda octv: (cfg.focal ** 2) * inv_sig2[
+        jnp.clip(octv, 0, cfg.n_levels - 1)]
+
+    # ---- stage 1: motion model + last-frame matching --------------------
+    R_pred, t_pred = lie.se3_mul(vel_R, vel_t, R_last, t_last)
+    last_lm = jnp.where(last.valid, last_feat_lm, -1)
+    lm_idx = jnp.clip(last_lm, 0, None)
+    lm_ok = (last_lm >= 0) & m.lm_valid[lm_idx]
+    pos = m.lm_pos[lm_idx]
+    Xc = lie.se3_apply(R_pred, t_pred, pos)
+    proj = cameras.project(cam, Xc)
+    proj = jnp.where((lm_ok & (Xc[:, 2] > 0.1))[:, None], proj, jnp.nan)
+    cur_lm = matching.search_last_frame(
+        last.uv, last.desc, last_lm, last.valid,
+        fr.uv, fr.octave, fr.desc, fr.valid,
+        proj, last.octave, radius_px=8.0, scale=cfg.scale,
+        last_angle=last.angle, cur_angle=fr.angle)
+    n_mm = jnp.sum(cur_lm >= 0)
+
+    lm_i = jnp.clip(cur_lm, 0, None)
+    res1 = pose_opt.optimize_pose(
+        R_pred, t_pred, m.lm_pos[lm_i], fr.xn,
+        info_of(fr.octave), (cur_lm >= 0) & m.lm_valid[lm_i],
+        n_rounds=2, n_iters=8)
+    cur_lm = jnp.where(res1.inliers, cur_lm, -1)
+
+    # ---- stage 2: local map ---------------------------------------------
+    # vote for local KFs by current matches (reference UpdateLocalKeyFrames)
+    match_mask = jnp.zeros(L + 1, bool).at[
+        jnp.where(cur_lm >= 0, cur_lm, L)].set(True)[:L]
+    slot_lm = jnp.where(m.kf_feat_lm >= 0, m.kf_feat_lm, L)
+    votes = jnp.sum(
+        jnp.concatenate([match_mask, jnp.asarray([False])])[slot_lm]
+        & m.kf_feat_valid, axis=1) * m.kf_valid          # (K,)
+    new_ref = jnp.argmax(votes).astype(jnp.int32)
+    new_ref = jnp.where(votes[new_ref] > 0, new_ref, ref_kf)
+    _, top_kfs = jax.lax.top_k(votes, min(LOCAL_KFS, K))
+
+    # local landmark set = landmarks of top KFs
+    lm_in = jnp.zeros(L + 1, bool).at[
+        jnp.where(m.kf_feat_valid[top_kfs], slot_lm[top_kfs], L)
+        .reshape(-1)].set(True)
+    lm_in = lm_in[:L] & m.lm_valid
+    _, lm_sel = jax.lax.top_k(lm_in.astype(jnp.int32), min(MAX_LOCAL_LM, L))
+    lm_sel_ok = lm_in[lm_sel] & ~match_mask[lm_sel]   # skip already-matched
+
+    # search ALL features against the local map (not just unmatched ones):
+    # the multi-view landmarks are the authority — letting stage-1 pairs
+    # stand unchallenged lets a velocity-overshoot-biased association
+    # survive into the final optimization (observed as ~1 deg/frame
+    # self-confirming rotation drift)
+    lm_sel_ok2 = lm_in[lm_sel]
+    proj_m = matching.search_by_projection(
+        m.lm_pos[lm_sel], m.lm_normal[lm_sel], m.lm_dist_max[lm_sel],
+        m.lm_desc[lm_sel], lm_sel_ok2,
+        res1.R, res1.t, lambda Xc: cameras.project(cam, Xc),
+        fr.uv, fr.octave, fr.desc, fr.valid,
+        (cfg.width, cfg.height), radius_px=4.0, scale=cfg.scale,
+        n_levels=cfg.n_levels)
+    ext_lm = jnp.where(proj_m.feat_lm >= 0,
+                       lm_sel[jnp.clip(proj_m.feat_lm, 0, None)], -1)
+    cur_lm2 = jnp.where(ext_lm >= 0, ext_lm, cur_lm)
+
+    lm_i2 = jnp.clip(cur_lm2, 0, None)
+    res2 = pose_opt.optimize_pose(
+        res1.R, res1.t, m.lm_pos[lm_i2], fr.xn,
+        info_of(fr.octave), (cur_lm2 >= 0) & m.lm_valid[lm_i2],
+        n_rounds=2, n_iters=8)
+    final_lm = jnp.where(res2.inliers, cur_lm2, -1)
+
+    # ---- counters (reference IncreaseVisible/IncreaseFound) -------------
+    vis_ids = jnp.where(lm_sel_ok, lm_sel, L)
+    m = m._replace(
+        lm_visible=m.lm_visible.at[vis_ids].add(1)[:L],
+        lm_found=m.lm_found.at[jnp.where(final_lm >= 0, final_lm, L)]
+        .add(1)[:L])
+    return TrackOutput(R=res2.R, t=res2.t, feat_lm=final_lm, n_mm=n_mm,
+                       n_inl=res2.n_inliers, m=m, ref_kf=new_ref)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_reference_kf(m: ms.MapState, fr: FrameData, ref_kf, R0, t0,
+                       cfg: TrackerConfig):
+    """Prediction-free fallback: brute-force descriptor match against the
+    reference keyframe's landmark-bearing features, then pose optimization
+    from the last pose (reference Tracking::TrackReferenceKeyFrame,
+    Tracking.cc:2535 — BoW-bucketed there; dense Hamming is cheap here)."""
+    ref_desc = m.kf_feat_desc[ref_kf]
+    ref_lm = m.kf_feat_lm[ref_kf]
+    ref_ok = m.kf_feat_valid[ref_kf] & (ref_lm >= 0) & \
+        m.lm_valid[jnp.clip(ref_lm, 0, None)]
+    dmat = jnp.where(ref_ok[:, None] & fr.valid[None, :],
+                     hamming.hamming_matrix(ref_desc, fr.desc),
+                     matching.BIG)
+    idx, _ = hamming.match_nn(dmat, ref_ok, fr.valid,
+                              max_dist=hamming.TH_LOW, ratio=0.7,
+                              cross_check=True)
+    keep = hamming.rotation_consistency_mask(
+        m.kf_feat_angle[ref_kf], fr.angle, idx)
+    idx = jnp.where(keep, idx, -1)
+    # scatter: current feature slot -> landmark
+    F = fr.uv.shape[0]
+    cur_lm = jnp.full(F, -1, jnp.int32)
+    cur_lm = cur_lm.at[jnp.where(idx >= 0, idx, F)].set(ref_lm, mode="drop")
+    inv_sig2 = cfg.lm_cfg.sigma2_inv
+    info = (cfg.focal ** 2) * inv_sig2[
+        jnp.clip(fr.octave, 0, cfg.n_levels - 1)]
+    lm_i = jnp.clip(cur_lm, 0, None)
+    res = pose_opt.optimize_pose(
+        R0, t0, m.lm_pos[lm_i], fr.xn, info,
+        (cur_lm >= 0) & m.lm_valid[lm_i], n_rounds=3, n_iters=10)
+    return res.R, res.t, jnp.where(res.inliers, cur_lm, -1), res.n_inliers
+
+
+@jax.jit
+def insert_keyframe(m: ms.MapState, fr: FrameData, feat_lm, R, t, ts):
+    """Append the current frame as a keyframe (reference
+    Tracking::CreateNewKeyFrame + LocalMapping::ProcessNewKeyFrame)."""
+    k = m.n_kf
+    lm_i = jnp.clip(feat_lm, 0, None)
+    assoc = (feat_lm >= 0) & m.lm_valid[lm_i]
+    m = m._replace(
+        kf_R=m.kf_R.at[k].set(R),
+        kf_t=m.kf_t.at[k].set(t),
+        kf_valid=m.kf_valid.at[k].set(True),
+        kf_ts=m.kf_ts.at[k].set(ts),
+        kf_feat_uv=m.kf_feat_uv.at[k].set(fr.uv),
+        kf_feat_xn=m.kf_feat_xn.at[k].set(fr.xn),
+        kf_feat_octave=m.kf_feat_octave.at[k].set(fr.octave),
+        kf_feat_angle=m.kf_feat_angle.at[k].set(fr.angle),
+        kf_feat_desc=m.kf_feat_desc.at[k].set(fr.desc),
+        kf_feat_valid=m.kf_feat_valid.at[k].set(fr.valid),
+        kf_feat_lm=m.kf_feat_lm.at[k].set(jnp.where(assoc, feat_lm, -1)),
+        kf_prev=m.kf_prev.at[k].set(k - 1),
+        n_kf=k + 1,
+    )
+    return m, k
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def create_initial_map(m: ms.MapState, fr0: FrameData, fr1: FrameData,
+                       match01, R21, t21, points, good, ts0, ts1,
+                       cfg: TrackerConfig):
+    """Monocular initial map (reference CreateInitialMapMonocular,
+    Tracking.cc:2345): two KFs, triangulated landmarks, median-depth gauge
+    normalization, then a small full BA."""
+    L = m.lm_valid.shape[0]
+    F = fr0.uv.shape[0]
+    # median depth normalization (reference: invMedianDepth scaling)
+    depths = jnp.where(good, points[:, 2], jnp.nan)
+    med = jnp.nanmedian(depths)
+    inv_med = 1.0 / jnp.clip(med, 1e-3, None)
+    pts = points * inv_med
+    t21n = t21 * inv_med
+
+    m, k0 = insert_keyframe(m, fr0, jnp.full(F, -1, jnp.int32),
+                            jnp.eye(3), jnp.zeros(3), ts0)
+    m, k1 = insert_keyframe(m, fr1, jnp.full(F, -1, jnp.int32), R21, t21n,
+                            ts1)
+
+    # allocate landmarks for good matches
+    n_new = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slot = jnp.where(good, n_new, L - 1)
+    j = jnp.clip(match01, 0, None)
+    dist0 = jnp.linalg.norm(pts, axis=-1)
+    dmax = dist0 * cfg.scale ** fr0.octave.astype(jnp.float32)
+    m = m._replace(
+        lm_pos=m.lm_pos.at[slot].set(
+            jnp.where(good[:, None], pts, m.lm_pos[slot])),
+        lm_valid=m.lm_valid.at[slot].set(good | m.lm_valid[slot]),
+        lm_desc=m.lm_desc.at[slot].set(
+            jnp.where(good[:, None], fr0.desc, m.lm_desc[slot])),
+        lm_ref_kf=m.lm_ref_kf.at[slot].set(
+            jnp.where(good, k0, m.lm_ref_kf[slot])),
+        lm_first_kf=m.lm_first_kf.at[slot].set(
+            jnp.where(good, k0, m.lm_first_kf[slot])),
+        lm_dist_max=m.lm_dist_max.at[slot].set(
+            jnp.where(good, dmax, m.lm_dist_max[slot])),
+        lm_visible=m.lm_visible.at[slot].set(1),
+        lm_found=m.lm_found.at[slot].set(1),
+        kf_feat_lm=m.kf_feat_lm
+            .at[k0, jnp.arange(F)].set(jnp.where(good, slot, -1))
+            .at[k1, j].set(jnp.where(good, slot, m.kf_feat_lm[k1, j])),
+        n_lm=jnp.sum(good),
+    )
+    m = ms.update_landmark_stats(m)
+    # init BA (reference GlobalBundleAdjustemnt(map, 20))
+    m = local_mapping.local_bundle_adjustment(m, k1, cfg.lm_cfg)
+    m = ms.update_landmark_stats(m)
+    return m, k1
+
+
+# ---------------------------------------------------------------------------
+# host state machine
+# ---------------------------------------------------------------------------
+
+class Tracker:
+    """Host-side orchestration (reference Tracking.cc state machine).
+
+    States: NO_IMAGES -> NOT_INITIALIZED -> OK <-> RECENTLY_LOST -> LOST.
+    """
+
+    def __init__(self, cam: cameras.Camera, cfg: TrackerConfig):
+        self.cam = cam
+        self.cfg = cfg
+        self.m = ms.empty_map(cfg.max_kf, cfg.n_feat, cfg.max_lm)
+        self.state = "NO_IMAGES"
+        self.fr_init: Optional[FrameData] = None
+        self.ts_init = 0.0
+        self.last: Optional[FrameData] = None
+        self.last_feat_lm = None
+        self.R_last = jnp.eye(3)
+        self.t_last = jnp.zeros(3)
+        self.vel = (jnp.eye(3), jnp.zeros(3))
+        self.has_vel = False
+        self.ref_kf = 0
+        self.ref_matches = 0
+        self.frames_since_kf = 0
+        self.key = jax.random.PRNGKey(7)
+        # trajectory: list of (ts, ref_kf, R_cr, t_cr) relative to ref KF
+        self.trajectory = []
+        self.n_frames = 0
+
+    # -- public API -------------------------------------------------------
+
+    def track_mono(self, img, ts: float):
+        """One grayscale frame -> (state, T_cw or None)."""
+        fr = extract_frame(jnp.asarray(img, jnp.float32), self.cam.params,
+                           self.cam.kind, self.cfg)
+        self.n_frames += 1
+        if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
+            self._try_initialize(fr, ts)
+            pose = None
+            if self.state == "OK":
+                pose = (self.R_last, self.t_last)
+            return self.state, pose
+        return self._track(fr, ts)
+
+    # -- init -------------------------------------------------------------
+
+    def _try_initialize(self, fr: FrameData, ts: float):
+        cfg = self.cfg
+        if self.fr_init is None or int(jnp.sum(fr.valid)) < cfg.min_init_matches:
+            self.fr_init, self.ts_init = fr, ts
+            self.state = "NOT_INITIALIZED"
+            return
+        idx = matching.search_for_initialization(
+            self.fr_init.uv, self.fr_init.desc, self.fr_init.valid,
+            self.fr_init.angle, fr.uv, fr.desc, fr.valid, fr.angle)
+        n_match = int(jnp.sum(idx >= 0))
+        if n_match < cfg.min_init_matches:
+            self.fr_init, self.ts_init = fr, ts
+            return
+        j = jnp.clip(idx, 0, None)
+        self.key, k = jax.random.split(self.key)
+        res = two_view.reconstruct_two_view(
+            k, self.fr_init.xn, fr.xn[j], idx >= 0, focal=cfg.focal)
+        if int(res.n_good) < cfg.min_init_points or \
+                float(res.parallax_deg) < 1.0:
+            return  # keep reference frame, wait for more parallax
+        self.m, k1 = create_initial_map(
+            self.m, self.fr_init, fr, idx, res.R21, res.t21, res.points,
+            res.is_good, self.ts_init, ts, cfg)
+        self.last = fr
+        self.last_feat_lm = self.m.kf_feat_lm[int(k1)]
+        self.R_last = self.m.kf_R[int(k1)]
+        self.t_last = self.m.kf_t[int(k1)]
+        self.ref_kf = int(k1)
+        self.ref_matches = int(jnp.sum(self.last_feat_lm >= 0))
+        self.frames_since_kf = 0
+        self.has_vel = False
+        self.state = "OK"
+        self.trajectory.append((self.ts_init, 0, jnp.eye(3), jnp.zeros(3)))
+        self.trajectory.append((ts, int(k1), jnp.eye(3), jnp.zeros(3)))
+
+    # -- tracking ---------------------------------------------------------
+
+    def _track(self, fr: FrameData, ts: float):
+        cfg = self.cfg
+        if self.has_vel:
+            vel_R, vel_t = self.vel
+            if cfg.vel_rot_damp == 0.0:
+                vel_R = jnp.eye(3)
+            elif cfg.vel_rot_damp < 1.0:
+                vel_R = lie.so3_exp(cfg.vel_rot_damp * lie.so3_log(vel_R))
+        else:
+            vel_R, vel_t = jnp.eye(3), jnp.zeros(3)
+        out = track_frame(self.m, fr, self.last, self.last_feat_lm,
+                          self.R_last, self.t_last, vel_R, vel_t,
+                          jnp.asarray(self.ref_kf, jnp.int32),
+                          self.cam.params, self.cam.kind, cfg)
+        n_inl = int(out.n_inl)
+        if self.has_vel and n_inl < cfg.min_local_points:
+            # the motion-model prediction may have poisoned the window
+            # search (overshoot confirms itself on repetitive texture) —
+            # retry prediction-free (reference falls back to
+            # TrackReferenceKeyFrame, Tracking.cc:2727)
+            out2 = track_frame(self.m, fr, self.last, self.last_feat_lm,
+                               self.R_last, self.t_last, jnp.eye(3),
+                               jnp.zeros(3),
+                               jnp.asarray(self.ref_kf, jnp.int32),
+                               self.cam.params, self.cam.kind, cfg)
+            if int(out2.n_inl) > n_inl:
+                out, n_inl = out2, int(out2.n_inl)
+        if n_inl < cfg.min_local_points:
+            # brute-force match against the reference keyframe
+            Rr, tr_, lm_r, n_r = track_reference_kf(
+                self.m, fr, jnp.asarray(self.ref_kf, jnp.int32),
+                self.R_last, self.t_last, cfg)
+            if int(n_r) > n_inl:
+                out = out._replace(R=Rr, t=tr_, feat_lm=lm_r, n_inl=n_r)
+                n_inl = int(n_r)
+                self.has_vel = False
+        self.m = out.m
+        if n_inl < cfg.min_track_points:
+            self.state = "RECENTLY_LOST"
+            self.has_vel = False
+            # keep last pose; relocalization proper lands with B4
+            return self.state, None
+
+        self.state = "OK"
+        # velocity model: vel = T_cur * T_last^-1
+        Ri, ti = lie.se3_inv(self.R_last, self.t_last)
+        self.vel = lie.se3_mul(out.R, out.t, Ri, ti)
+        self.has_vel = True
+        self.R_last, self.t_last = out.R, out.t
+        self.last = fr
+        self.last_feat_lm = out.feat_lm
+        self.ref_kf = int(out.ref_kf)
+        self.frames_since_kf += 1
+
+        # trajectory entry relative to ref KF
+        Rr, tr = self.m.kf_R[self.ref_kf], self.m.kf_t[self.ref_kf]
+        Rri, tri = lie.se3_inv(Rr, tr)
+        self.trajectory.append(
+            (ts, self.ref_kf, *lie.se3_mul(out.R, out.t, Rri, tri)))
+
+        # keyframe decision (reference NeedNewKeyFrame, simplified to the
+        # mono conditions c1a/c2 — mapping here is synchronous so the
+        # "mapper idle" condition is always true)
+        need = (self.frames_since_kf >= cfg.max_kf_interval or
+                (n_inl < cfg.kf_ref_ratio * max(self.ref_matches, 1)
+                 and self.frames_since_kf >= 1)) and n_inl > 15
+        if need and int(self.m.n_kf) < cfg.max_kf - 1:
+            self._insert_keyframe(fr, out, ts)
+        return self.state, (out.R, out.t)
+
+    def _insert_keyframe(self, fr: FrameData, out: TrackOutput, ts: float):
+        self.m, k = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
+                                    ts)
+        k = int(k)
+        self.m = local_mapping.mapping_step(self.m, k, self.cam.params,
+                                            self.cam.kind, self.cfg.lm_cfg)
+        self.ref_kf = k
+        self.last_feat_lm = self.m.kf_feat_lm[k]
+        self.ref_matches = int(jnp.sum(self.last_feat_lm >= 0))
+        # mapping may have moved the KF: refresh last pose for the motion model
+        self.R_last = self.m.kf_R[k]
+        self.t_last = self.m.kf_t[k]
+        self.frames_since_kf = 0
+
+    # -- output -----------------------------------------------------------
+
+    def trajectory_world(self):
+        """(N, 3) camera centers in world frame, chaining relative poses
+        through (possibly BA-updated) keyframe poses — the reference's
+        SaveTrajectoryTUM scheme (System.cc:531)."""
+        out = []
+        for ts, ref, R_cr, t_cr in self.trajectory:
+            Rr, tr = self.m.kf_R[ref], self.m.kf_t[ref]
+            R_cw, t_cw = lie.se3_mul(R_cr, t_cr, Rr, tr)
+            Rwc, twc = lie.se3_inv(R_cw, t_cw)
+            out.append((ts, np.asarray(twc)))
+        return out

@@ -1,0 +1,109 @@
+"""Synthetic rendered world for end-to-end SLAM tests (SURVEY.md §4c).
+
+Renders a textured multi-plane scene by homography warping — every frame has
+exact ground-truth camera pose, realistic FAST-trackable texture, parallax
+between the planes, and no dataset download.
+"""
+import cv2
+import numpy as np
+
+from morb_slam_tpu import lie
+import jax.numpy as jnp
+
+
+def _texture(size, seed, scale=None):
+    """Fractal (1/f amplitude) noise: natural-image statistics, so local
+    patches are DISTINCTIVE at every scale. A single-scale blob texture is
+    pathologically repetitive — every blob matches its neighbor one window
+    over, which lets a self-consistent wrong pose win (observed 16-degree
+    one-frame pose jumps with 150 'inliers')."""
+    rng = np.random.default_rng(seed)
+    t = np.zeros((size, size), np.float32)
+    base = 8
+    amp = 1.0
+    while base <= size // 2:
+        layer = rng.standard_normal((base, base)).astype(np.float32)
+        layer = cv2.resize(layer, (size, size),
+                           interpolation=cv2.INTER_CUBIC)
+        t += amp * layer
+        base *= 2
+        amp *= 0.55
+    t = cv2.GaussianBlur(t, (0, 0), 1.0)
+    return cv2.normalize(t, None, 0, 255, cv2.NORM_MINMAX)
+
+
+class PlaneWorld:
+    """A set of textured planes, each given by an origin + two axes in world
+    coordinates; plane i occludes plane j for i > j (painter's order)."""
+
+    def __init__(self, K, width, height, seed=0):
+        self.K = np.asarray(K, np.float64)
+        self.w, self.h = width, height
+        rng = np.random.default_rng(seed)
+        self.planes = []
+        # back wall at z=8 spanning the whole camera path
+        self._add_plane(origin=(-8, -5, 8), ex=(1, 0, 0), ey=(0, 1, 0),
+                        extent=(24, 10), tex=_texture(3072, seed))
+        # mid panels staggered along the path (always some near structure
+        # in view — an all-distant view makes rotation/translation ambiguous
+        # and mono tracking drifts)
+        for k in range(10):
+            ox = -3.5 + 1.3 * k + rng.uniform(-0.3, 0.3)
+            oy = rng.uniform(-2.2, 0.4)
+            z = rng.uniform(4.5, 5.8)
+            self._add_plane(origin=(ox, oy, z), ex=(1, 0, 0), ey=(0, 1, 0),
+                            extent=(2.2, 1.8), tex=_texture(512, seed + k + 1))
+        # near posts all along the path at z ~ 3.5
+        for k in range(8):
+            ox = -2.0 + 1.0 * k + rng.uniform(-0.2, 0.2)
+            oy = rng.uniform(-1.3, 0.4)
+            z = rng.uniform(3.2, 3.9)
+            self._add_plane(origin=(ox, oy, z), ex=(1, 0, 0), ey=(0, 1, 0),
+                            extent=(1.1, 0.9), tex=_texture(256, seed + 20 + k))
+
+    def _add_plane(self, origin, ex, ey, extent, tex):
+        self.planes.append(dict(
+            origin=np.asarray(origin, np.float64),
+            ex=np.asarray(ex, np.float64), ey=np.asarray(ey, np.float64),
+            extent=extent, tex=tex))
+
+    def render(self, R_cw, t_cw):
+        """Render the scene from camera pose T_cw. Returns float32 (H, W)."""
+        R = np.asarray(R_cw, np.float64)
+        t = np.asarray(t_cw, np.float64)
+        img = np.zeros((self.h, self.w), np.float32)
+        for p in self.planes:
+            th, tw = p["tex"].shape
+            sx = p["extent"][0] / tw
+            sy = p["extent"][1] / th
+            # homography: tex (u, v) -> world -> image
+            a = R @ (p["ex"] * sx)
+            b = R @ (p["ey"] * sy)
+            c = R @ p["origin"] + t
+            H = self.K @ np.stack([a, b, c], axis=1)
+            warped = cv2.warpPerspective(
+                p["tex"], H, (self.w, self.h), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0)
+            mask = warped >= 0
+            # cheirality: only where the plane is in front of the camera
+            img[mask] = warped[mask]
+        return img
+
+
+def camera_path(n_frames, step=0.04, seed=5):
+    """Sideways translation with gentle yaw — good parallax, no pure
+    rotation. Returns list of (R_cw, t_cw) world->camera."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        x = step * i
+        yaw = 0.1 * np.sin(i * 0.08)
+        pitch = 0.02 * np.sin(i * 0.13)
+        # camera center moves along +x, camera looks roughly at -z offset
+        center = np.array([x, 0.02 * np.sin(i * 0.2), 0.0])
+        R_wc = np.asarray(
+            lie.so3_exp(jnp.asarray([pitch, yaw, 0.0], jnp.float32)))
+        R_cw = R_wc.T
+        t_cw = -R_cw @ center
+        poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
+    return poses
