@@ -1,0 +1,147 @@
+"""Multi-device bundle adjustment: observations sharded over a device mesh,
+Hessian blocks reduced with psum, reduced camera system solved replicated.
+
+This is the framework's distribution story (SURVEY.md §2.4 P5/P6 and §7
+design stance #4): the reference is a single-process pthreads system with no
+distributed backend; here the BA data parallelism over observations — the
+SLAM analog of DP — rides `shard_map` + `psum` over ICI. Keyframe/landmark
+state stays replicated (it is small); the observation stream (the bulk) is
+sharded. The Schur reduction and dense solve run replicated per device —
+cheap relative to the per-observation work, and avoiding a gather.
+
+`ba_solve_sharded` produces bit-comparable results to optim.ba.ba_solve
+(asserted in tests/test_sharded_ba.py) because the math is identical — only
+the segment-sum reductions are split across devices and psum'd.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .. import lie
+from ..optim import ba as ba_mod
+
+
+OBS_AXIS = "obs"
+
+
+def pad_problem_for_mesh(p: ba_mod.BAProblem, n_devices: int):
+    """Pad observation arrays so their length divides the mesh size."""
+    O = p.obs_uv.shape[0]
+    pad = (-O) % n_devices
+    if pad == 0:
+        return p
+    f = lambda x: jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return p._replace(
+        obs_kf=f(p.obs_kf), obs_lm=f(p.obs_lm), obs_uv=f(p.obs_uv),
+        obs_ur=jnp.concatenate([p.obs_ur, jnp.full(pad, jnp.nan,
+                                                   p.obs_ur.dtype)]),
+        obs_info=f(p.obs_info),
+        obs_mask=jnp.concatenate([p.obs_mask, jnp.zeros(pad, bool)]))
+
+
+def ba_solve_sharded(p: ba_mod.BAProblem, mesh: Mesh, n_iters: int = 10,
+                     lambda0: float = 1e-4):
+    """LM bundle adjustment with observation-sharded Hessian assembly.
+
+    Args:
+      p: BAProblem with obs length divisible by the mesh size
+         (pad_problem_for_mesh).
+      mesh: 1-D mesh whose single axis is named OBS_AXIS.
+    Returns (R, t, X, info) like optim.ba.ba_solve.
+    """
+    K = p.R.shape[0]
+    L = p.X.shape[0]
+    f32 = p.obs_uv.dtype
+    kf_opt_f = p.kf_opt.astype(f32)
+    lm_opt_f = p.lm_opt.astype(f32)
+
+    obs_spec = ba_mod.BAProblem(
+        R=P(), t=P(), X=P(),
+        obs_kf=P(OBS_AXIS), obs_lm=P(OBS_AXIS), obs_uv=P(OBS_AXIS),
+        obs_ur=P(OBS_AXIS), obs_info=P(OBS_AXIS), obs_mask=P(OBS_AXIS),
+        kf_opt=P(), lm_opt=P(), baseline=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(obs_spec, P(), P(), P(), P()),
+             out_specs=(P(), P(), P()))
+    def lm_step(p_local, R, t, X, lam):
+        r, Jp, Jl, w, _ = ba_mod._obs_terms(p_local, R, t, X, robust=True)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum('oia,o,oib->oab', Jp, w, Jp, precision='highest'),
+            p_local.obs_kf, num_segments=K)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum('oia,o,oib->oab', Jl, w, Jl, precision='highest'),
+            p_local.obs_lm, num_segments=L)
+        bp = -jax.ops.segment_sum(
+            jnp.einsum('oia,o,oi->oa', Jp, w, r, precision='highest'),
+            p_local.obs_kf, num_segments=K)
+        bl = -jax.ops.segment_sum(
+            jnp.einsum('oia,o,oi->oa', Jl, w, r, precision='highest'),
+            p_local.obs_lm, num_segments=L)
+        Wpl = jnp.einsum('oia,o,oib->oab', Jp, w, Jl, precision='highest')
+        B_local = jnp.zeros((K, 6, L, 3), f32)
+        B_local = B_local.at[p_local.obs_kf, :, p_local.obs_lm, :].add(
+            Wpl * p_local.obs_mask[:, None, None])
+        # one reduction for everything that crosses shards
+        Hpp, Hll, bp, bl, B = jax.lax.psum(
+            (Hpp, Hll, bp, bl, B_local), OBS_AXIS)
+
+        # ---- replicated reduced-system solve (identical to optim.ba) ----
+        eyeK = jnp.eye(6, dtype=f32)
+        eyeL = jnp.eye(3, dtype=f32)
+        Hpp = Hpp + lam * eyeK * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeK
+        Hll_d = Hll + lam * eyeL * jnp.maximum(
+            jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeL
+        Hll_d = jnp.where(p.lm_opt[:, None, None], Hll_d,
+                          jnp.broadcast_to(eyeL, Hll_d.shape))
+        bl = bl * lm_opt_f[:, None]
+        Hll_inv = ba_mod._inv3x3(Hll_d)
+        Bm = B.reshape(K * 6, L, 3)
+        BC = jnp.einsum('mlb,lbc->mlc', Bm, Hll_inv, precision='highest')
+        S_off = jnp.einsum('mlc,nlc->mn', BC, Bm, precision='highest')
+        Hpp_dense = jnp.zeros((K, 6, K, 6), f32)
+        Hpp_dense = Hpp_dense.at[jnp.arange(K), :, jnp.arange(K), :].set(Hpp)
+        S = Hpp_dense.reshape(K * 6, K * 6) - S_off
+        b_schur = (bp.reshape(K * 6)
+                   - jnp.einsum('mlc,lc->m', BC, bl, precision='highest'))
+        free = jnp.repeat(kf_opt_f, 6)
+        S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        b_schur = b_schur * free
+        dxp = jnp.linalg.solve(S, b_schur)
+        Btdxp = jnp.einsum('mlc,m->lc', Bm, dxp, precision='highest')
+        dxl = jnp.einsum('lab,lb->la', Hll_inv, bl - Btdxp,
+                         precision='highest') * lm_opt_f[:, None]
+        dxp = dxp.reshape(K, 6) * kf_opt_f[:, None]
+        dR, dt = lie.se3_exp(dxp)
+        R_new, t_new = lie.se3_mul(dR, dt, R, t)
+        return R_new, t_new, X + dxl
+
+    @partial(shard_map, mesh=mesh, in_specs=(obs_spec, P(), P(), P()),
+             out_specs=P())
+    def cost_fn(p_local, R, t, X):
+        r, _, _, w, _ = ba_mod._obs_terms(p_local, R, t, X, robust=True)
+        return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, axis=-1)), OBS_AXIS)
+
+    def iteration(carry, _):
+        R, t, X, lam, cost = carry
+        R_new, t_new, X_new = lm_step(p, R, t, X, lam)
+        new_cost = cost_fn(p, R_new, t_new, X_new)
+        accept = new_cost < cost
+        R, t, X = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), (R_new, t_new, X_new),
+            (R, t, X))
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e4)
+        return (R, t, X, lam, cost), cost
+
+    cost0 = cost_fn(p, p.R, p.t, p.X)
+    (R, t, X, lam, cost), costs = jax.lax.scan(
+        iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
+        None, length=n_iters)
+    return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
