@@ -27,6 +27,13 @@ def _stack_last(rows):
     return jnp.stack(rows, axis=-2)
 
 
+def _safe_norm(w):
+    """|w| with a finite gradient at w = 0 (jnp.linalg.norm's gradient is
+    NaN there, which poisons jacfwd of exp/log at the identity — exactly
+    where optimization residuals live)."""
+    return jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-24)
+
+
 # Small-matrix products stay OFF the MXU: on TPU, `@` defaults to bf16 MXU
 # passes, which corrupts 3x3 rotation algebra (observed rotation-level error
 # ~1.2 from exp/log round trips). Broadcast-multiply + sum runs exact f32 on
@@ -93,7 +100,7 @@ def _sinc3(x):
 
 def so3_exp(w):
     """Exponential map (..., 3) -> (..., 3, 3) via Rodrigues."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = so3_hat(w)
     W2 = _hat_sq(w)
     a = _sinc(theta)[..., None, None]
@@ -105,7 +112,9 @@ def so3_exp(w):
 def so3_log(R):
     """Log map (..., 3, 3) -> (..., 3). Robust near 0 and pi."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos has infinite gradient at the
+    # endpoints, which would NaN any autodiff through log at the identity
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
     # generic branch: vee((R - R^T)/2) * theta/sin(theta)
     w_generic = so3_vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
@@ -119,7 +128,7 @@ def so3_log(R):
     # diag(B) = cos + (1-cos) a_i^2  => a_i^2 = (B_ii - cos)/(1-cos)
     one_minus = jnp.clip(1.0 - cos_theta, 1e-8, None)[..., None]
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    a2 = jnp.clip((diag - cos_theta[..., None]) / one_minus, 0.0, None)
+    a2 = jnp.clip((diag - cos_theta[..., None]) / one_minus, 1e-12, None)
     a = jnp.sqrt(a2)
     # fix signs using off-diagonal of symmetric part and the skew part
     # sign of largest component set +, others from B_ij = (1-cos) a_i a_j
@@ -146,7 +155,7 @@ def so3_log(R):
 
 def so3_left_jacobian(w):
     """Left Jacobian J_l of SO(3): exp((J_l w) ^) approx relation. (...,3)->(...,3,3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = so3_hat(w)
     W2 = _hat_sq(w)
     b = _cosc(theta)[..., None, None]
@@ -162,7 +171,7 @@ def so3_right_jacobian(w):
 
 
 def so3_right_jacobian_inv(w):
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_norm(w)
     W = so3_hat(w)
     W2 = _hat_sq(w)
     small = theta < 1e-4
@@ -237,7 +246,7 @@ def sim3_exp(xi):
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(phi)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     W = _sim3_W(theta, sigma, phi)
     t = matvec(W, rho)
     return s, R, t
@@ -287,7 +296,7 @@ def sim3_log(s, R, t):
     """(s, R, t) -> (..., 7) tangent."""
     sigma = jnp.log(s)
     phi = so3_log(R)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     W = _sim3_W(theta, sigma, phi)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

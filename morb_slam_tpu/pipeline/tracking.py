@@ -23,7 +23,7 @@ from .. import cameras, frontend, lie, matching
 from ..ops import hamming
 from ..mapstate import state as ms
 from ..optim import ba, pose_opt
-from ..solvers import two_view
+from ..solvers import pnp, two_view
 from . import local_mapping
 
 MAX_LOCAL_LM = 4096
@@ -193,6 +193,36 @@ def track_frame(m: ms.MapState, fr: FrameData, last: FrameData,
                        n_inl=res2.n_inliers, m=m, ref_kf=new_ref)
 
 
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step(img, m: ms.MapState, last: FrameData, last_feat_lm,
+               R_last, t_last, vel_R, vel_t, has_vel, ref_kf,
+               cam_params, cam_kind, cfg: TrackerConfig):
+    """Fused per-frame program: ORB extraction + tracking + velocity update
+    + trajectory-relative pose, ONE device dispatch (the per-frame path must
+    stay at <= 2 dispatches incl. the scalar readback; SURVEY.md §7 #4)."""
+    fr = extract_frame(img, cam_params, cam_kind, cfg)
+    damp = cfg.vel_rot_damp
+    if damp == 0.0:
+        vel_R_used = jnp.eye(3)
+    elif damp < 1.0:
+        vel_R_used = lie.so3_exp(damp * lie.so3_log(vel_R))
+    else:
+        vel_R_used = vel_R
+    vel_R_used = jnp.where(has_vel, vel_R_used, jnp.eye(3))
+    vel_t_used = jnp.where(has_vel, vel_t, jnp.zeros(3))
+    out = track_frame(m, fr, last, last_feat_lm, R_last, t_last,
+                      vel_R_used, vel_t_used, ref_kf, cam_params, cam_kind,
+                      cfg)
+    # velocity for the next frame: T_cur T_last^-1
+    Ri, ti = lie.se3_inv(R_last, t_last)
+    vel_new = lie.se3_mul(out.R, out.t, Ri, ti)
+    # trajectory entry relative to the (new) reference KF
+    Rr, tr_ = m.kf_R[out.ref_kf], m.kf_t[out.ref_kf]
+    Rri, tri = lie.se3_inv(Rr, tr_)
+    rel = lie.se3_mul(out.R, out.t, Rri, tri)
+    return fr, out, vel_new, rel
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def track_reference_kf(m: ms.MapState, fr: FrameData, ref_kf, R0, t0,
                        cfg: TrackerConfig):
@@ -224,6 +254,37 @@ def track_reference_kf(m: ms.MapState, fr: FrameData, ref_kf, R0, t0,
     res = pose_opt.optimize_pose(
         R0, t0, m.lm_pos[lm_i], fr.xn, info,
         (cur_lm >= 0) & m.lm_valid[lm_i], n_rounds=3, n_iters=10)
+    return res.R, res.t, jnp.where(res.inliers, cur_lm, -1), res.n_inliers
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def relocalize_candidate(m: ms.MapState, fr: FrameData, kf_id, key,
+                         cfg: TrackerConfig):
+    """One relocalization attempt against a candidate keyframe (reference
+    Tracking::Relocalization, Tracking.cc:3360): brute-force descriptor
+    match to the KF's landmarks, PnP RANSAC, then motion-only refinement."""
+    ref_desc = m.kf_feat_desc[kf_id]
+    ref_lm = m.kf_feat_lm[kf_id]
+    ref_ok = m.kf_feat_valid[kf_id] & (ref_lm >= 0) & \
+        m.lm_valid[jnp.clip(ref_lm, 0, None)]
+    dmat = jnp.where(ref_ok[:, None] & fr.valid[None, :],
+                     hamming.hamming_matrix(ref_desc, fr.desc),
+                     matching.BIG)
+    idx, _ = hamming.match_nn(dmat, ref_ok, fr.valid,
+                              max_dist=hamming.TH_LOW, ratio=0.75,
+                              cross_check=True)
+    F = fr.uv.shape[0]
+    cur_lm = jnp.full(F, -1, jnp.int32)
+    cur_lm = cur_lm.at[jnp.where(idx >= 0, idx, F)].set(ref_lm, mode="drop")
+    lm_i = jnp.clip(cur_lm, 0, None)
+    has = (cur_lm >= 0) & m.lm_valid[lm_i]
+    pnp_res = pnp.solve_pnp(key, m.lm_pos[lm_i], fr.xn, has,
+                            focal=cfg.focal, n_hyp=192)
+    inv_sig2 = cfg.lm_cfg.sigma2_inv
+    info = (cfg.focal ** 2) * inv_sig2[
+        jnp.clip(fr.octave, 0, cfg.n_levels - 1)]
+    res = pose_opt.optimize_pose(pnp_res.R, pnp_res.t, m.lm_pos[lm_i],
+                                 fr.xn, info, has, n_rounds=3, n_iters=10)
     return res.R, res.t, jnp.where(res.inliers, cur_lm, -1), res.n_inliers
 
 
@@ -315,9 +376,15 @@ class Tracker:
     States: NO_IMAGES -> NOT_INITIALIZED -> OK <-> RECENTLY_LOST -> LOST.
     """
 
-    def __init__(self, cam: cameras.Camera, cfg: TrackerConfig):
+    def __init__(self, cam: cameras.Camera, cfg: TrackerConfig,
+                 voc=None):
         self.cam = cam
         self.cfg = cfg
+        self.voc = voc
+        self.db = None
+        if voc is not None:
+            from ..vocab import database as kfdb
+            self.db = kfdb.empty(cfg.max_kf, voc.n_words)
         self.m = ms.empty_map(cfg.max_kf, cfg.n_feat, cfg.max_lm)
         self.state = "NO_IMAGES"
         self.fr_init: Optional[FrameData] = None
@@ -332,6 +399,7 @@ class Tracker:
         self.ref_matches = 0
         self.frames_since_kf = 0
         self.key = jax.random.PRNGKey(7)
+        self.frames_lost = 0
         # trajectory: list of (ts, ref_kf, R_cr, t_cr) relative to ref KF
         self.trajectory = []
         self.n_frames = 0
@@ -340,16 +408,16 @@ class Tracker:
 
     def track_mono(self, img, ts: float):
         """One grayscale frame -> (state, T_cw or None)."""
-        fr = extract_frame(jnp.asarray(img, jnp.float32), self.cam.params,
-                           self.cam.kind, self.cfg)
         self.n_frames += 1
         if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
+            fr = extract_frame(jnp.asarray(img, jnp.float32),
+                               self.cam.params, self.cam.kind, self.cfg)
             self._try_initialize(fr, ts)
             pose = None
             if self.state == "OK":
                 pose = (self.R_last, self.t_last)
             return self.state, pose
-        return self._track(fr, ts)
+        return self._track(jnp.asarray(img, jnp.float32), ts)
 
     # -- init -------------------------------------------------------------
 
@@ -376,6 +444,8 @@ class Tracker:
         self.m, k1 = create_initial_map(
             self.m, self.fr_init, fr, idx, res.R21, res.t21, res.points,
             res.is_good, self.ts_init, ts, cfg)
+        self._db_add(int(k1) - 1, self.fr_init)
+        self._db_add(int(k1), fr)
         self.last = fr
         self.last_feat_lm = self.m.kf_feat_lm[int(k1)]
         self.R_last = self.m.kf_R[int(k1)]
@@ -390,22 +460,16 @@ class Tracker:
 
     # -- tracking ---------------------------------------------------------
 
-    def _track(self, fr: FrameData, ts: float):
+    def _track(self, img, ts: float):
         cfg = self.cfg
-        if self.has_vel:
-            vel_R, vel_t = self.vel
-            if cfg.vel_rot_damp == 0.0:
-                vel_R = jnp.eye(3)
-            elif cfg.vel_rot_damp < 1.0:
-                vel_R = lie.so3_exp(cfg.vel_rot_damp * lie.so3_log(vel_R))
-        else:
-            vel_R, vel_t = jnp.eye(3), jnp.zeros(3)
-        out = track_frame(self.m, fr, self.last, self.last_feat_lm,
-                          self.R_last, self.t_last, vel_R, vel_t,
-                          jnp.asarray(self.ref_kf, jnp.int32),
-                          self.cam.params, self.cam.kind, cfg)
+        vel_R, vel_t = self.vel
+        fr, out, vel_new, rel = track_step(
+            img, self.m, self.last, self.last_feat_lm,
+            self.R_last, self.t_last, vel_R, vel_t,
+            jnp.asarray(self.has_vel), jnp.asarray(self.ref_kf, jnp.int32),
+            self.cam.params, self.cam.kind, cfg)
         n_inl = int(out.n_inl)
-        if self.has_vel and n_inl < cfg.min_local_points:
+        if bool(self.has_vel) and n_inl < cfg.min_local_points:
             # the motion-model prediction may have poisoned the window
             # search (overshoot confirms itself on repetitive texture) —
             # retry prediction-free (reference falls back to
@@ -430,25 +494,23 @@ class Tracker:
         if n_inl < cfg.min_track_points:
             self.state = "RECENTLY_LOST"
             self.has_vel = False
-            # keep last pose; relocalization proper lands with B4
+            self.frames_lost += 1
+            if self._try_relocalize(fr):
+                return self.state, (self.R_last, self.t_last)
+            if self.frames_lost > 60:
+                self.state = "LOST"
             return self.state, None
+        self.frames_lost = 0
 
         self.state = "OK"
-        # velocity model: vel = T_cur * T_last^-1
-        Ri, ti = lie.se3_inv(self.R_last, self.t_last)
-        self.vel = lie.se3_mul(out.R, out.t, Ri, ti)
+        self.vel = vel_new
         self.has_vel = True
         self.R_last, self.t_last = out.R, out.t
         self.last = fr
         self.last_feat_lm = out.feat_lm
         self.ref_kf = int(out.ref_kf)
         self.frames_since_kf += 1
-
-        # trajectory entry relative to ref KF
-        Rr, tr = self.m.kf_R[self.ref_kf], self.m.kf_t[self.ref_kf]
-        Rri, tri = lie.se3_inv(Rr, tr)
-        self.trajectory.append(
-            (ts, self.ref_kf, *lie.se3_mul(out.R, out.t, Rri, tri)))
+        self.trajectory.append((ts, self.ref_kf, rel[0], rel[1]))
 
         # keyframe decision (reference NeedNewKeyFrame, simplified to the
         # mono conditions c1a/c2 — mapping here is synchronous so the
@@ -464,6 +526,7 @@ class Tracker:
         self.m, k = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
                                     ts)
         k = int(k)
+        self._db_add(k, fr)
         self.m = local_mapping.mapping_step(self.m, k, self.cam.params,
                                             self.cam.kind, self.cfg.lm_cfg)
         self.ref_kf = k
@@ -473,6 +536,43 @@ class Tracker:
         self.R_last = self.m.kf_R[k]
         self.t_last = self.m.kf_t[k]
         self.frames_since_kf = 0
+
+    def _db_add(self, kf_id: int, fr: FrameData):
+        if self.db is None:
+            return
+        from ..vocab import database as kfdb, tree as voctree
+        bow = voctree.bow_vector(
+            self.voc, voctree.transform(self.voc, fr.desc, fr.valid))
+        self.db = kfdb.add_keyframe(self.db, kf_id, bow)
+
+    def _try_relocalize(self, fr: FrameData):
+        """BoW candidates + PnP RANSAC (reference Relocalization)."""
+        if self.db is None:
+            return False
+        from ..vocab import database as kfdb, tree as voctree
+        bow = voctree.bow_vector(
+            self.voc, voctree.transform(self.voc, fr.desc, fr.valid))
+        ids, scores, ok = kfdb.top_candidates(self.db, bow, 3)
+        best = None
+        for c in range(3):
+            if not bool(ok[c]):
+                continue
+            self.key, k = jax.random.split(self.key)
+            R, t, feat_lm, n_inl = relocalize_candidate(
+                self.m, fr, ids[c], k, self.cfg)
+            if best is None or int(n_inl) > best[3]:
+                best = (R, t, feat_lm, int(n_inl), int(ids[c]))
+        if best is None or best[3] < 30:
+            return False
+        R, t, feat_lm, n_inl, ref = best
+        self.R_last, self.t_last = R, t
+        self.last = fr
+        self.last_feat_lm = feat_lm
+        self.ref_kf = ref
+        self.has_vel = False
+        self.state = "OK"
+        self.frames_lost = 0
+        return True
 
     # -- output -----------------------------------------------------------
 
