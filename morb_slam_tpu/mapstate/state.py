@@ -131,14 +131,30 @@ def covisibility_matrix(m: MapState):
     return W * (m.kf_valid[:, None] & m.kf_valid[None, :])
 
 
+def covisibility_row(m: MapState, center_kf):
+    """(K,) int32 — landmarks shared between `center_kf` and every other
+    keyframe. One row of the covisibility matrix, O(K*F) — the full-matrix
+    matmul is only needed by loop closing."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    lm_c = m.kf_feat_lm[center_kf]
+    in_c = jnp.zeros(L + 1, bool).at[
+        jnp.where((lm_c >= 0) & m.kf_feat_valid[center_kf], lm_c, L)
+    ].set(True)[:L] & m.lm_valid
+    lookup = jnp.concatenate([in_c, jnp.asarray([False])])
+    slot_lm = jnp.where(m.kf_feat_lm >= 0, m.kf_feat_lm, L)
+    shared = jnp.sum(lookup[slot_lm] & m.kf_feat_valid, axis=1)
+    shared = shared * m.kf_valid
+    return shared.at[center_kf].set(0).astype(jnp.int32)
+
+
 def local_window(m: MapState, center_kf, size: int, min_weight: int = 15):
     """Top covisible keyframes of `center_kf` (incl. itself first).
 
     Returns (kf_idx (size,), valid (size,)) — the reference's
     GetBestCovisibilityKeyFrames (KeyFrame.h:224) as one top-k.
     """
-    W = covisibility_matrix(m)
-    w = W[center_kf]
+    w = covisibility_row(m, center_kf)
     w = jnp.where(jnp.arange(w.shape[0]) == center_kf, 1 << 30, w)
     vals, idx = jax.lax.top_k(w, size)
     valid = (vals >= min_weight) | (idx == center_kf)
@@ -177,17 +193,34 @@ def update_landmark_stats(m: MapState) -> MapState:
     lm_of_slot = jnp.where(slot_ok, m.kf_feat_lm, L)                # (K, F)
     cam_centers = -lie_matvec(jnp.swapaxes(m.kf_R, -1, -2), m.kf_t)  # (K, 3)
 
-    # --- accumulate per-landmark bit counts + normals with a scan over KFs
+    # --- accumulate per-landmark bit counts + normals, chunked over KFs
+    # (a per-KF scan serializes into K tiny scatters; 32-KF chunks keep the
+    # working set ~40MB while cutting the sequential depth 32x)
     shifts = jnp.arange(32, dtype=jnp.uint32)
+    CHUNK = min(32, K)
+    n_chunks = -(-K // CHUNK)
+    pad_k = n_chunks * CHUNK - K
+
+    def pad0(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad_k,) + x.shape[1:], x.dtype)]) if pad_k else x
+
+    lm_cs = pad0(lm_of_slot).reshape(n_chunks, CHUNK * F)
+    desc_cs = pad0(m.kf_feat_desc).reshape(n_chunks, CHUNK * F, 8)
+    ok_cs = pad0(slot_ok).reshape(n_chunks, CHUNK * F)
+    ctr_cs = pad0(cam_centers).reshape(n_chunks, CHUNK, 3)
+    lm_pad = jnp.concatenate([m.lm_pos, jnp.zeros((1, 3), f32)])
 
     def body(carry, inp):
         bit_sum, n_sum, nrm_sum = carry
         lm_k, desc_k, valid_k, center_k = inp
+        lm_k = jnp.where(valid_k, lm_k, L)
         bits = ((desc_k[:, :, None] >> shifts) & jnp.uint32(1)) \
-            .reshape(F, 256).astype(f32)                            # (F, 256)
+            .reshape(CHUNK * F, 256).astype(f32)
         bit_sum = bit_sum.at[lm_k].add(bits)
         n_sum = n_sum.at[lm_k].add(valid_k.astype(f32))
-        v = m.lm_pos[jnp.clip(lm_k, 0, L - 1)] - center_k[None, :]
+        ctr = jnp.repeat(center_k, F, axis=0)               # (CHUNK*F, 3)
+        v = lm_pad[lm_k] - ctr
         vn = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True),
                           1e-9, None)
         nrm_sum = nrm_sum.at[lm_k].add(vn * valid_k[:, None])
@@ -196,8 +229,7 @@ def update_landmark_stats(m: MapState) -> MapState:
     init = (jnp.zeros((L + 1, 256), f32), jnp.zeros(L + 1, f32),
             jnp.zeros((L + 1, 3), f32))
     (bit_sum, n_sum, nrm_sum), _ = jax.lax.scan(
-        body, init,
-        (lm_of_slot, m.kf_feat_desc, slot_ok, cam_centers))
+        body, init, (lm_cs, desc_cs, ok_cs, ctr_cs))
     bit_sum, n_sum, nrm_sum = bit_sum[:L], n_sum[:L], nrm_sum[:L]
 
     maj = (2.0 * bit_sum > n_sum[:, None])                          # (L, 256)

@@ -277,15 +277,46 @@ def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
     return m
 
 
+@jax.jit
+def cull_keyframes(m: ms.MapState, kf_id):
+    """Redundant-keyframe culling (reference LocalMapping::KeyFrameCulling,
+    LocalMapping.cc:886): a covisible KF is dropped when >= 90% of its
+    landmarks are observed by at least 3 other keyframes. The reference's
+    same-or-finer-scale condition is omitted (coarser approximation); the
+    temporal window bound (Nd=21) is inherited from the covisible-window
+    candidate set. KF0 and the newest KF are never culled."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    n_obs = ms.lm_obs_count(m)                       # (L,)
+    n_obs_l = jnp.concatenate([n_obs, jnp.zeros(1, n_obs.dtype)])
+    slot_lm = jnp.where(
+        m.kf_feat_valid & (m.kf_feat_lm >= 0), m.kf_feat_lm, L)
+    has = slot_lm < L
+    redundant = (n_obs_l[slot_lm] >= 4) & has        # (K, F)
+    n_lm_kf = jnp.sum(has, axis=1)
+    frac = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_kf, 1, None)
+    cand, cand_ok = ms.local_window(m, kf_id, min(12, K), min_weight=10)
+    is_cand = jnp.zeros(K, bool).at[jnp.where(cand_ok, cand, 0)].set(
+        cand_ok, mode="drop")
+    cull = (is_cand & m.kf_valid & (frac > 0.9) & (n_lm_kf > 20)
+            & (jnp.arange(K) != 0) & (jnp.arange(K) != kf_id))
+    # cull at most 2 per step (stability): keep the highest-frac ones
+    score = jnp.where(cull, frac, -1.0)
+    _, top2 = jax.lax.top_k(score, 2)
+    keep_cull = jnp.zeros(K, bool).at[top2].set(score[top2] > 0)
+    return m._replace(kf_valid=m.kf_valid & ~keep_cull)
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def mapping_step(m: ms.MapState, kf_id, cam_params, cam_kind,
                  cfg: LocalMapConfig):
     """Full per-keyframe mapping pipeline (reference LocalMapping::Run body):
-    triangulate -> fuse -> cull -> local BA -> refresh stats."""
+    triangulate -> fuse -> cull points -> local BA -> cull KFs -> stats."""
     m = create_new_landmarks(m, kf_id, cfg)
     m = ms.update_landmark_stats(m)
     m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
     m = cull_landmarks(m, kf_id)
     m = local_bundle_adjustment(m, kf_id, cfg)
+    m = cull_keyframes(m, kf_id)
     m = ms.update_landmark_stats(m)
     return m

@@ -1,0 +1,179 @@
+"""Loop detection, Sim(3) verification and essential-graph correction.
+
+TPU-native replacement for the reference's LoopClosing thread
+(/root/reference/src/LoopClosing.cc): NewDetectCommonRegions (:318) becomes a
+dense BoW query excluding the covisible group, the Sim3Solver RANSAC +
+guided matching (:591, :929) becomes one jitted 3D-3D RANSAC + refit, and
+CorrectLoop (:980) becomes a Sim3 pose-graph optimization over the whole map
+followed by a landmark gauge correction through each landmark's reference
+keyframe (the reference's per-KF Sim3 propagation, :1009-1100, expressed
+functionally). The detached global-BA thread is deferred (the pose graph +
+local BA already bound the error; full GBA lands with the PCG solver).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie, matching
+from ..mapstate import state as ms
+from ..ops import hamming
+from ..optim import pose_graph
+from ..solvers import sim3 as sim3_solver
+
+MIN_SIM3_INLIERS = 20
+MIN_ACCEPT_MATCHES = 35
+COVIS_EDGE_MIN = 30        # covisibility weight for pose-graph edges
+COVIS_EDGES_PER_KF = 5
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def verify_candidate(m: ms.MapState, kf_id, cand, key, cfg):
+    """Geometric loop verification (reference DetectCommonRegionsFromBoW ->
+    Sim3Solver -> SearchBySim3): match landmark descriptors of the two KFs,
+    RANSAC a Sim3 on the 3D-3D pairs in the two camera frames, refit on
+    inliers.
+
+    Returns (s, R, t) mapping cand-camera points -> kf-camera points, and the
+    inlier count (host gates acceptance)."""
+    lm1 = m.kf_feat_lm[kf_id]
+    lm2 = m.kf_feat_lm[cand]
+    ok1 = (lm1 >= 0) & m.kf_feat_valid[kf_id] & \
+        m.lm_valid[jnp.clip(lm1, 0, None)]
+    ok2 = (lm2 >= 0) & m.kf_feat_valid[cand] & \
+        m.lm_valid[jnp.clip(lm2, 0, None)]
+    dmat = jnp.where(ok1[:, None] & ok2[None, :],
+                     hamming.hamming_matrix(m.kf_feat_desc[kf_id],
+                                            m.kf_feat_desc[cand]),
+                     matching.BIG)
+    idx, _ = hamming.match_nn(dmat, ok1, ok2, max_dist=hamming.TH_LOW,
+                              ratio=0.75, cross_check=True)
+    j = jnp.clip(idx, 0, None)
+    pairs_ok = idx >= 0
+    X1w = m.lm_pos[jnp.clip(lm1, 0, None)]
+    X2w = m.lm_pos[jnp.clip(lm2[j], 0, None)]
+    # into each KF's camera frame (Sim3Solver works camera-frame)
+    X1c = lie.se3_apply(m.kf_R[kf_id], m.kf_t[kf_id], X1w)
+    X2c = lie.se3_apply(m.kf_R[cand], m.kf_t[cand], X2w)
+    x1 = m.kf_feat_xn[kf_id]
+    x2 = m.kf_feat_xn[cand][j]
+    res = sim3_solver.solve_sim3(key, X1c, X2c, x1, x2, pairs_ok,
+                                 focal=cfg.focal, fix_scale=False)
+    return res.s, res.R, res.t, res.n_inliers
+
+
+@jax.jit
+def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel):
+    """Essential-graph correction (reference CorrectLoop +
+    OptimizeEssentialGraph): the loop edge pins kf_id against cand; poses
+    redistribute accumulated drift; landmarks follow their reference KF's
+    correction."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    f32 = m.kf_t.dtype
+    ones = jnp.ones(K, f32)
+
+    # --- edges: temporal chain + top covisibility + loop ----------------
+    W = ms.covisibility_matrix(m)
+    prev = m.kf_prev
+    chain_ok = (prev >= 0) & m.kf_valid & m.kf_valid[jnp.clip(prev, 0, None)]
+    covis_w, covis_j = jax.lax.top_k(W, COVIS_EDGES_PER_KF)    # (K, C)
+    covis_ok = (covis_w >= COVIS_EDGE_MIN) & m.kf_valid[:, None] & \
+        m.kf_valid[covis_j]
+    # avoid duplicating chain edges; fine to double-count mild weights
+    e_i = jnp.concatenate([
+        jnp.arange(K, dtype=jnp.int32),
+        jnp.repeat(jnp.arange(K, dtype=jnp.int32), COVIS_EDGES_PER_KF),
+        jnp.asarray([kf_id], jnp.int32)])
+    e_j = jnp.concatenate([
+        jnp.clip(prev, 0, None),
+        covis_j.reshape(-1),
+        jnp.asarray([cand], jnp.int32)])
+    e_w = jnp.concatenate([
+        chain_ok.astype(f32),
+        covis_ok.reshape(-1).astype(f32) * 0.5,
+        jnp.asarray([20.0], f32)])
+
+    # measured relative transforms from current poses (drift-free locally)
+    s_nodes = ones
+    sij, Rij, tij = pose_graph.relative_sim3(
+        s_nodes[e_i], m.kf_R[e_i], m.kf_t[e_i],
+        s_nodes[e_j], m.kf_R[e_j], m.kf_t[e_j])
+    # ...except the LOOP edge, whose measurement comes from the Sim3 solver
+    sij = sij.at[-1].set(s_rel)
+    Rij = Rij.at[-1].set(R_rel)
+    tij = tij.at[-1].set(t_rel)
+
+    g = pose_graph.PoseGraph(
+        s=s_nodes, R=m.kf_R, t=m.kf_t,
+        edge_i=e_i, edge_j=e_j, edge_s=sij, edge_R=Rij, edge_t=tij,
+        edge_w=e_w,
+        fixed=(~m.kf_valid) | (jnp.arange(K) == cand) |
+              (jnp.arange(K) == 0))
+    s_new, R_new, t_new, costs = pose_graph.optimize(g, n_iters=12)
+
+    # --- landmark correction through reference KFs ----------------------
+    ref = jnp.clip(m.lm_ref_kf, 0, K - 1)
+    # X' = S_new_rw^-1 ( S_old_rw (X) )  per landmark's reference KF r
+    Xc = lie.se3_apply(m.kf_R[ref], m.kf_t[ref], m.lm_pos)   # old cam coords
+    si, Ri, ti = lie.sim3_inv(s_new[ref], R_new[ref], t_new[ref])
+    X_corr = lie.sim3_apply(si, Ri, ti, Xc)
+    lm_pos = jnp.where(m.lm_valid[:, None], X_corr, m.lm_pos)
+
+    # --- normalize scale back into SE(3) keyframes ----------------------
+    # keyframe pose: T_cw = (R_new, t_new / s_new) (reference: converts the
+    # corrected Sim3 back to SE3 by dividing translation by scale)
+    t_se3 = t_new / s_new[:, None]
+    m = m._replace(
+        kf_R=jnp.where(m.kf_valid[:, None, None], R_new, m.kf_R),
+        kf_t=jnp.where(m.kf_valid[:, None], t_se3, m.kf_t),
+        lm_pos=lm_pos)
+    return m, costs
+
+
+class LoopCloser:
+    """Host-side loop-closing orchestration (reference LoopClosing::Run)."""
+
+    def __init__(self, cfg, min_interval: int = 10):
+        self.cfg = cfg
+        self.last_loop_kf = -10 ** 9
+        self.min_interval = min_interval
+
+    def maybe_close(self, tracker, kf_id: int, bow):
+        """Called after each keyframe insertion; returns True if a loop was
+        closed (tracker.m updated in place)."""
+        import jax
+        from ..vocab import database as kfdb
+        if tracker.db is None or kf_id < 12:
+            return False
+        if kf_id - self.last_loop_kf < self.min_interval:
+            return False
+        m = tracker.m
+        # exclude the covisible group + temporal neighbors (reference
+        # DetectLoopCandidates uses covisibility; temporal gap adds safety)
+        row = ms.covisibility_row(m, jnp.asarray(kf_id))
+        K = row.shape[0]
+        exclude = (row > 0) | (jnp.arange(K) >= kf_id - 5)
+        ids, scores, ok = kfdb.top_candidates(tracker.db, bow, 3,
+                                              exclude=exclude,
+                                              min_score=0.15)
+        for c in range(3):
+            if not bool(ok[c]):
+                continue
+            tracker.key, k = jax.random.split(tracker.key)
+            s, R, t, n_inl = verify_candidate(
+                m, jnp.asarray(kf_id), ids[c], k, self.cfg)
+            if int(n_inl) < MIN_SIM3_INLIERS:
+                continue
+            tracker.m, costs = correct_loop(
+                m, jnp.asarray(kf_id), ids[c], s, R, t)
+            # refresh tracker pose anchors after the map moved
+            tracker.R_last = tracker.m.kf_R[kf_id]
+            tracker.t_last = tracker.m.kf_t[kf_id]
+            tracker.has_vel = False
+            self.last_loop_kf = kf_id
+            return True
+        return False

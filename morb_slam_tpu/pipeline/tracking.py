@@ -46,6 +46,7 @@ class TrackerConfig:
     min_local_points: int = 30
     kf_ref_ratio: float = 0.9
     max_kf_interval: int = 30
+    min_kf_interval: int = 3
     # Fraction of the measured inter-frame ROTATION carried into the
     # constant-velocity prediction. The reference predicts with the full
     # rotation (Tracking.cc mVelocity); we default to 0 because a rotation
@@ -382,9 +383,13 @@ class Tracker:
         self.cfg = cfg
         self.voc = voc
         self.db = None
+        self.loop_closer = None
+        self.n_loops_closed = 0
         if voc is not None:
             from ..vocab import database as kfdb
+            from . import loop_closing
             self.db = kfdb.empty(cfg.max_kf, voc.n_words)
+            self.loop_closer = loop_closing.LoopCloser(cfg)
         self.m = ms.empty_map(cfg.max_kf, cfg.n_feat, cfg.max_lm)
         self.state = "NO_IMAGES"
         self.fr_init: Optional[FrameData] = None
@@ -396,13 +401,22 @@ class Tracker:
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.has_vel = False
         self.ref_kf = 0
-        self.ref_matches = 0
+        self._ref_matches_dev = None
+        self._ref_matches = 0
+        self.n_kf_host = 0
         self.frames_since_kf = 0
         self.key = jax.random.PRNGKey(7)
         self.frames_lost = 0
         # trajectory: list of (ts, ref_kf, R_cr, t_cr) relative to ref KF
         self.trajectory = []
         self.n_frames = 0
+
+    @property
+    def ref_matches(self):
+        if self._ref_matches_dev is not None:
+            self._ref_matches = int(self._ref_matches_dev)
+            self._ref_matches_dev = None
+        return self._ref_matches
 
     # -- public API -------------------------------------------------------
 
@@ -451,7 +465,8 @@ class Tracker:
         self.R_last = self.m.kf_R[int(k1)]
         self.t_last = self.m.kf_t[int(k1)]
         self.ref_kf = int(k1)
-        self.ref_matches = int(jnp.sum(self.last_feat_lm >= 0))
+        self.n_kf_host = int(k1) + 1
+        self._ref_matches_dev = jnp.sum(self.last_feat_lm >= 0)
         self.frames_since_kf = 0
         self.has_vel = False
         self.state = "OK"
@@ -517,21 +532,29 @@ class Tracker:
         # "mapper idle" condition is always true)
         need = (self.frames_since_kf >= cfg.max_kf_interval or
                 (n_inl < cfg.kf_ref_ratio * max(self.ref_matches, 1)
-                 and self.frames_since_kf >= 1)) and n_inl > 15
-        if need and int(self.m.n_kf) < cfg.max_kf - 1:
+                 and self.frames_since_kf >= cfg.min_kf_interval)) \
+            and n_inl > 15
+        if need and self.n_kf_host < cfg.max_kf - 1:
             self._insert_keyframe(fr, out, ts)
         return self.state, (out.R, out.t)
 
     def _insert_keyframe(self, fr: FrameData, out: TrackOutput, ts: float):
-        self.m, k = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
+        # host tracks the KF count itself: no device sync needed here — the
+        # whole insert+mapping chain stays an async dispatch
+        k = self.n_kf_host
+        self.m, _ = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
                                     ts)
-        k = int(k)
-        self._db_add(k, fr)
+        self.n_kf_host += 1
+        bow = self._db_add(k, fr)
         self.m = local_mapping.mapping_step(self.m, k, self.cam.params,
                                             self.cam.kind, self.cfg.lm_cfg)
+        if self.loop_closer is not None and bow is not None:
+            if self.loop_closer.maybe_close(self, k, bow):
+                self.n_loops_closed += 1
         self.ref_kf = k
         self.last_feat_lm = self.m.kf_feat_lm[k]
-        self.ref_matches = int(jnp.sum(self.last_feat_lm >= 0))
+        # lazily-read device scalar; sync deferred to the next KF decision
+        self._ref_matches_dev = jnp.sum(self.last_feat_lm >= 0)
         # mapping may have moved the KF: refresh last pose for the motion model
         self.R_last = self.m.kf_R[k]
         self.t_last = self.m.kf_t[k]
@@ -539,11 +562,12 @@ class Tracker:
 
     def _db_add(self, kf_id: int, fr: FrameData):
         if self.db is None:
-            return
+            return None
         from ..vocab import database as kfdb, tree as voctree
         bow = voctree.bow_vector(
             self.voc, voctree.transform(self.voc, fr.desc, fr.valid))
         self.db = kfdb.add_keyframe(self.db, kf_id, bow)
+        return bow
 
     def _try_relocalize(self, fr: FrameData):
         """BoW candidates + PnP RANSAC (reference Relocalization)."""

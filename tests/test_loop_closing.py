@@ -1,0 +1,60 @@
+"""Loop-closing end-to-end test: out-and-back trajectory revisits mapped
+territory; the loop must be detected, closed, and the map stay consistent."""
+import jax.numpy as jnp
+import numpy as np
+
+from morb_slam_tpu import alignment, cameras, frontend
+from morb_slam_tpu.pipeline import tracking
+from morb_slam_tpu.vocab import tree
+
+from synthetic_world import PlaneWorld, camera_path
+
+W, H, FX = 384, 288, 300.0
+
+
+def out_and_back(n_out=30, step=0.05):
+    fwd = camera_path(n_out, step=step)
+    back = fwd[-2::-1]
+    return fwd + list(back)
+
+
+def test_loop_closes_on_revisit():
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    seq = out_and_back(30)
+    ocfg = frontend.OrbConfig(n_features=300, n_levels=4)
+    descs = []
+    for R, t in seq[::6]:
+        f = frontend.extract_orb(jnp.asarray(world.render(R, t), jnp.float32),
+                                 ocfg)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = tree.train(np.concatenate(descs), k=6, depth=3, iters=3)
+
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=64, max_lm=8000, n_levels=4,
+                                 min_init_matches=60, min_init_points=40)
+    tr = tracking.Tracker(cam, cfg, voc=voc)
+    states = []
+    for i, (R, t) in enumerate(seq):
+        img = world.render(R, t)
+        state, pose = tr.track_mono(jnp.asarray(img, jnp.float32),
+                                    ts=float(i))
+        states.append(state)
+    ok = sum(1 for s in states if s == "OK")
+    assert ok > 0.75 * len(states), (ok, len(states))
+    assert tr.n_loops_closed >= 1, "no loop closed on revisit"
+
+    # trajectory remains metrically consistent after correction
+    traj = tr.trajectory_world()
+    est, gt = [], []
+    for ts, p in traj:
+        i = int(round(ts))
+        R, t = seq[i]
+        gt.append(-(R.T @ t))
+        est.append(p)
+    rmse, s, _, _ = alignment.ate_rmse(
+        jnp.asarray(np.asarray(est), jnp.float32),
+        jnp.asarray(np.asarray(gt), jnp.float32), with_scale=True)
+    extent = 30 * 0.05
+    assert float(rmse) < 0.06 * extent, (float(rmse), extent)
