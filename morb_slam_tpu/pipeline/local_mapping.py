@@ -38,6 +38,7 @@ class LocalMapConfig(NamedTuple):
     focal: float
     scale: float = 1.2
     n_levels: int = 8
+    baseline: float = 0.0
 
     @property
     def sigma2_inv(self):
@@ -254,6 +255,7 @@ def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
         kf_opt=opt_mask,
         lm_opt=lm_sel_ok,
         obs_ur=m.kf_feat_ur[win_idx].reshape(-1),
+        baseline=cfg.baseline,
     )
     Rn, tn, Xn, _ = ba.ba_solve(prob, n_iters=8)
 

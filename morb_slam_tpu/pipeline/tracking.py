@@ -55,6 +55,9 @@ class TrackerConfig:
     # deg/frame self-confirming drift). Translation prediction keeps the
     # motion-model benefit without that failure mode.
     vel_rot_damp: float = 0.0
+    baseline: float = 0.0      # stereo baseline (m); 0 = monocular
+    th_depth: float = 35.0     # close-point gate in baseline units
+    min_stereo_init_feats: int = 400
 
     @property
     def orb(self):
@@ -64,7 +67,8 @@ class TrackerConfig:
     @property
     def lm_cfg(self):
         return local_mapping.LocalMapConfig(
-            focal=self.focal, scale=self.scale, n_levels=self.n_levels)
+            focal=self.focal, scale=self.scale, n_levels=self.n_levels,
+            baseline=self.baseline)
 
 
 class FrameData(NamedTuple):
@@ -74,6 +78,8 @@ class FrameData(NamedTuple):
     angle: jnp.ndarray
     desc: jnp.ndarray
     valid: jnp.ndarray
+    ur: jnp.ndarray        # (F,) normalized right-image u (NaN = mono)
+    depth: jnp.ndarray     # (F,) stereo/RGB-D depth (-1 = none)
 
 
 class TrackOutput(NamedTuple):
@@ -98,8 +104,11 @@ def extract_frame(img, cam_params, cam_kind, cfg: TrackerConfig) -> FrameData:
     mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
     my = (uv[:, 1] - cam_params[3]) / cam_params[1]
     xn = jnp.stack([mx, my], axis=-1)
+    F = uv.shape[0]
     return FrameData(uv=uv, xn=xn, octave=feats.octave, angle=feats.angle,
-                     desc=feats.desc, valid=feats.valid)
+                     desc=feats.desc, valid=feats.valid,
+                     ur=jnp.full(F, jnp.nan, jnp.float32),
+                     depth=jnp.full(F, -1.0, jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
@@ -137,6 +146,7 @@ def track_frame(m: ms.MapState, fr: FrameData, last: FrameData,
     res1 = pose_opt.optimize_pose(
         R_pred, t_pred, m.lm_pos[lm_i], fr.xn,
         info_of(fr.octave), (cur_lm >= 0) & m.lm_valid[lm_i],
+        obs_ur=fr.ur, baseline=cfg.baseline,
         n_rounds=2, n_iters=8)
     cur_lm = jnp.where(res1.inliers, cur_lm, -1)
 
@@ -181,6 +191,7 @@ def track_frame(m: ms.MapState, fr: FrameData, last: FrameData,
     res2 = pose_opt.optimize_pose(
         res1.R, res1.t, m.lm_pos[lm_i2], fr.xn,
         info_of(fr.octave), (cur_lm2 >= 0) & m.lm_valid[lm_i2],
+        obs_ur=fr.ur, baseline=cfg.baseline,
         n_rounds=2, n_iters=8)
     final_lm = jnp.where(res2.inliers, cur_lm2, -1)
 
@@ -195,13 +206,137 @@ def track_frame(m: ms.MapState, fr: FrameData, last: FrameData,
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
-def track_step(img, m: ms.MapState, last: FrameData, last_feat_lm,
-               R_last, t_last, vel_R, vel_t, has_vel, ref_kf,
-               cam_params, cam_kind, cfg: TrackerConfig):
-    """Fused per-frame program: ORB extraction + tracking + velocity update
-    + trajectory-relative pose, ONE device dispatch (the per-frame path must
-    stay at <= 2 dispatches incl. the scalar readback; SURVEY.md §7 #4)."""
-    fr = extract_frame(img, cam_params, cam_kind, cfg)
+def extract_stereo_frame(img_l, img_r, cam_params, cam_kind,
+                         cfg: TrackerConfig) -> FrameData:
+    """Extract both images and run rectified row matching (reference
+    Frame stereo ctor, Frame.cc:194 + ComputeStereoMatches)."""
+    from ..ops import stereo as stereo_ops
+    cam = cameras.Camera(cam_kind, cam_params)
+    feats_l = frontend.extract_orb(img_l, cfg.orb)
+    feats_r = frontend.extract_orb(img_r, cfg.orb)
+    sf = jnp.asarray([cfg.scale ** i for i in range(cfg.n_levels)],
+                     jnp.float32)
+    sm = stereo_ops.match_stereo(feats_l, feats_r, img_l, img_r, sf,
+                                 bf=cfg.baseline * cfg.focal,
+                                 min_z=cfg.baseline)
+    uv = cameras.undistort_points(cam, feats_l.uv)
+    mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
+    my = (uv[:, 1] - cam_params[3]) / cam_params[1]
+    ur_n = jnp.where(sm.valid, (sm.u_right - cam_params[2]) / cam_params[0],
+                     jnp.nan)
+    return FrameData(uv=uv, xn=jnp.stack([mx, my], -1),
+                     octave=feats_l.octave, angle=feats_l.angle,
+                     desc=feats_l.desc, valid=feats_l.valid,
+                     ur=ur_n, depth=jnp.where(sm.valid, sm.depth, -1.0))
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def extract_rgbd_frame(img, depth_map, cam_params, cam_kind,
+                       cfg: TrackerConfig) -> FrameData:
+    """RGB-D extraction: ORB on the color/gray image, depth read at keypoint
+    locations with a synthetic right-u (reference
+    Frame::ComputeStereoFromRGBD, Frame.cc)."""
+    from ..ops import stereo as stereo_ops
+    cam = cameras.Camera(cam_kind, cam_params)
+    feats = frontend.extract_orb(img, cfg.orb)
+    sm = stereo_ops.depth_from_rgbd(feats, depth_map,
+                                    bf=cfg.baseline * cfg.focal)
+    uv = cameras.undistort_points(cam, feats.uv)
+    mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
+    my = (uv[:, 1] - cam_params[3]) / cam_params[1]
+    ur_n = jnp.where(sm.valid, (sm.u_right - cam_params[2]) / cam_params[0],
+                     jnp.nan)
+    return FrameData(uv=uv, xn=jnp.stack([mx, my], -1), octave=feats.octave,
+                     angle=feats.angle, desc=feats.desc, valid=feats.valid,
+                     ur=ur_n, depth=jnp.where(sm.valid, sm.depth, -1.0))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stereo_initialize(m: ms.MapState, fr: FrameData, ts, cfg: TrackerConfig):
+    """First-frame stereo map (reference Tracking::StereoInitialization,
+    Tracking.cc:2168): every feature with valid depth becomes a landmark."""
+    L = m.lm_valid.shape[0]
+    F = fr.uv.shape[0]
+    good = fr.valid & (fr.depth > 0)
+    X = fr.xn * fr.depth[:, None]
+    Xw = jnp.concatenate([X, fr.depth[:, None]], axis=-1)  # z = depth
+    n_new = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slot = jnp.where(good, n_new, L - 1)
+    # landmarks must exist BEFORE the keyframe association is written
+    # (insert_keyframe drops associations to invalid landmarks)
+    m, k0 = insert_keyframe(m, fr, jnp.full(fr.uv.shape[0], -1, jnp.int32),
+                            jnp.eye(3), jnp.zeros(3), ts)
+    dmax = fr.depth * cfg.scale ** fr.octave.astype(jnp.float32)
+    m = m._replace(
+        kf_feat_lm=m.kf_feat_lm.at[k0].set(jnp.where(good, slot, -1)),
+        lm_pos=m.lm_pos.at[slot].set(
+            jnp.where(good[:, None], Xw, m.lm_pos[slot])),
+        lm_valid=m.lm_valid.at[slot].set(good | m.lm_valid[slot]),
+        lm_desc=m.lm_desc.at[slot].set(
+            jnp.where(good[:, None], fr.desc, m.lm_desc[slot])),
+        lm_ref_kf=m.lm_ref_kf.at[slot].set(jnp.where(good, k0,
+                                                     m.lm_ref_kf[slot])),
+        lm_first_kf=m.lm_first_kf.at[slot].set(
+            jnp.where(good, k0, m.lm_first_kf[slot])),
+        lm_dist_max=m.lm_dist_max.at[slot].set(
+            jnp.where(good, dmax, m.lm_dist_max[slot])),
+        lm_normal=m.lm_normal.at[slot].set(
+            jnp.where(good[:, None], jnp.asarray([0.0, 0.0, -1.0])[None, :],
+                      m.lm_normal[slot])),
+        lm_visible=m.lm_visible.at[slot].set(1),
+        lm_found=m.lm_found.at[slot].set(1),
+        n_lm=jnp.sum(good))
+    m = ms.update_landmark_stats(m)
+    return m, k0
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def create_close_landmarks(m: ms.MapState, kf_id, fr: FrameData,
+                           cfg: TrackerConfig):
+    """New landmarks straight from stereo depth for unmatched close features
+    (reference Tracking::CreateNewKeyFrame close-point creation,
+    Tracking.cc:2996): points nearer than th_depth * baseline, best 128."""
+    L = m.lm_valid.shape[0]
+    th = cfg.th_depth * cfg.baseline
+    freeF = (m.kf_feat_lm[kf_id] < 0) & fr.valid & (fr.depth > 0) &         (fr.depth < th)
+    MAXC = 128
+    score = jnp.where(freeF, -fr.depth, -jnp.inf)    # closest first
+    _, sel = jax.lax.top_k(score, MAXC)
+    sel_good = freeF[sel]
+    free_score = (~m.lm_valid).astype(jnp.int32)
+    n_free_ok, free_slots = jax.lax.top_k(free_score, MAXC)
+    rank = jnp.cumsum(sel_good.astype(jnp.int32)) - 1
+    sel_good = sel_good & (n_free_ok == 1)[jnp.clip(rank, 0, None)]
+    slot = jnp.where(sel_good, free_slots[jnp.clip(rank, 0, None)], L)
+    z = fr.depth[sel]
+    Xc = jnp.concatenate([fr.xn[sel] * z[:, None], z[:, None]], axis=-1)
+    Rwc = m.kf_R[kf_id].T
+    Xw = lie.se3_apply(Rwc, -lie.matvec(Rwc, m.kf_t[kf_id]), Xc)
+    dmax = z * cfg.scale ** fr.octave[sel].astype(jnp.float32)
+    m = m._replace(
+        lm_pos=m.lm_pos.at[slot].set(
+            jnp.where(sel_good[:, None], Xw, m.lm_pos[slot])),
+        lm_valid=m.lm_valid.at[slot].set(sel_good | m.lm_valid[slot]),
+        lm_desc=m.lm_desc.at[slot].set(
+            jnp.where(sel_good[:, None], fr.desc[sel], m.lm_desc[slot])),
+        lm_ref_kf=m.lm_ref_kf.at[slot].set(
+            jnp.where(sel_good, kf_id, m.lm_ref_kf[slot])),
+        lm_first_kf=m.lm_first_kf.at[slot].set(
+            jnp.where(sel_good, kf_id, m.lm_first_kf[slot])),
+        lm_dist_max=m.lm_dist_max.at[slot].set(
+            jnp.where(sel_good, dmax, m.lm_dist_max[slot])),
+        lm_visible=m.lm_visible.at[slot].set(
+            jnp.where(sel_good, 1, m.lm_visible[slot])),
+        lm_found=m.lm_found.at[slot].set(
+            jnp.where(sel_good, 1, m.lm_found[slot])),
+        kf_feat_lm=m.kf_feat_lm.at[kf_id, sel].set(
+            jnp.where(sel_good, slot, m.kf_feat_lm[kf_id, sel])),
+        n_lm=m.n_lm + jnp.sum(sel_good))
+    return m
+
+
+def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
+                has_vel, ref_kf, cam_params, cam_kind, cfg):
     damp = cfg.vel_rot_damp
     if damp == 0.0:
         vel_R_used = jnp.eye(3)
@@ -222,6 +357,38 @@ def track_step(img, m: ms.MapState, last: FrameData, last_feat_lm,
     Rri, tri = lie.se3_inv(Rr, tr_)
     rel = lie.se3_mul(out.R, out.t, Rri, tri)
     return fr, out, vel_new, rel
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step(img, m: ms.MapState, last: FrameData, last_feat_lm,
+               R_last, t_last, vel_R, vel_t, has_vel, ref_kf,
+               cam_params, cam_kind, cfg: TrackerConfig):
+    """Fused per-frame program: ORB extraction + tracking + velocity update
+    + trajectory-relative pose, ONE device dispatch (the per-frame path must
+    stay at <= 2 dispatches incl. the scalar readback; SURVEY.md §7 #4)."""
+    fr = extract_frame(img, cam_params, cam_kind, cfg)
+    return _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R,
+                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step_framedata(fr: FrameData, m: ms.MapState, last: FrameData,
+                         last_feat_lm, R_last, t_last, vel_R, vel_t,
+                         has_vel, ref_kf, cam_params, cam_kind,
+                         cfg: TrackerConfig):
+    return _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R,
+                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step_stereo(img_l, img_r, m: ms.MapState, last: FrameData,
+                      last_feat_lm, R_last, t_last, vel_R, vel_t, has_vel,
+                      ref_kf, cam_params, cam_kind, cfg: TrackerConfig):
+    """Stereo per-frame program: dual extraction + row matching + tracking,
+    one dispatch."""
+    fr = extract_stereo_frame(img_l, img_r, cam_params, cam_kind, cfg)
+    return _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R,
+                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -307,6 +474,7 @@ def insert_keyframe(m: ms.MapState, fr: FrameData, feat_lm, R, t, ts):
         kf_feat_angle=m.kf_feat_angle.at[k].set(fr.angle),
         kf_feat_desc=m.kf_feat_desc.at[k].set(fr.desc),
         kf_feat_valid=m.kf_feat_valid.at[k].set(fr.valid),
+        kf_feat_ur=m.kf_feat_ur.at[k].set(fr.ur),
         kf_feat_lm=m.kf_feat_lm.at[k].set(jnp.where(assoc, feat_lm, -1)),
         kf_prev=m.kf_prev.at[k].set(k - 1),
         n_kf=k + 1,
@@ -420,6 +588,58 @@ class Tracker:
 
     # -- public API -------------------------------------------------------
 
+    def track_stereo(self, img_l, img_r, ts: float):
+        """One stereo pair -> (state, T_cw or None) (reference
+        System::TrackStereo -> Tracking::GrabImageStereo)."""
+        self.n_frames += 1
+        cfg = self.cfg
+        if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
+            fr = extract_stereo_frame(jnp.asarray(img_l, jnp.float32),
+                                      jnp.asarray(img_r, jnp.float32),
+                                      self.cam.params, self.cam.kind, cfg)
+            if int(jnp.sum(fr.valid & (fr.depth > 0))) >= \
+                    cfg.min_stereo_init_feats:
+                return self._init_from_depth(fr, ts)
+            self.state = "NOT_INITIALIZED"
+            return self.state, None
+        return self._track((jnp.asarray(img_l, jnp.float32),
+                            jnp.asarray(img_r, jnp.float32)), ts)
+
+    def track_rgbd(self, img, depth_map, ts: float):
+        """One RGB-D frame -> (state, T_cw or None) (reference
+        System::TrackRGBD). `baseline` in the config sets the virtual
+        stereo baseline (reference Camera.bf / fx)."""
+        self.n_frames += 1
+        cfg = self.cfg
+        fr = extract_rgbd_frame(jnp.asarray(img, jnp.float32),
+                                jnp.asarray(depth_map, jnp.float32),
+                                self.cam.params, self.cam.kind, cfg)
+        if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
+            if int(jnp.sum(fr.valid & (fr.depth > 0))) >= \
+                    cfg.min_stereo_init_feats:
+                return self._init_from_depth(fr, ts)
+            self.state = "NOT_INITIALIZED"
+            return self.state, None
+        return self._track_framedata(fr, ts)
+
+    def _init_from_depth(self, fr: FrameData, ts: float):
+        cfg = self.cfg
+        self.m, k0 = stereo_initialize(self.m, fr,
+                                       jnp.asarray(ts, jnp.float32), cfg)
+        self._db_add(int(k0), fr)
+        self.last = fr
+        self.last_feat_lm = self.m.kf_feat_lm[int(k0)]
+        self.R_last = jnp.eye(3)
+        self.t_last = jnp.zeros(3)
+        self.ref_kf = int(k0)
+        self.n_kf_host = int(k0) + 1
+        self._ref_matches_dev = jnp.sum(self.last_feat_lm >= 0)
+        self.frames_since_kf = 0
+        self.has_vel = False
+        self.state = "OK"
+        self.trajectory.append((ts, int(k0), jnp.eye(3), jnp.zeros(3)))
+        return self.state, (self.R_last, self.t_last)
+
     def track_mono(self, img, ts: float):
         """One grayscale frame -> (state, T_cw or None)."""
         self.n_frames += 1
@@ -475,14 +695,38 @@ class Tracker:
 
     # -- tracking ---------------------------------------------------------
 
-    def _track(self, img, ts: float):
+    def _track_framedata(self, fr: FrameData, ts: float):
         cfg = self.cfg
         vel_R, vel_t = self.vel
-        fr, out, vel_new, rel = track_step(
-            img, self.m, self.last, self.last_feat_lm,
+        out_tuple = track_step_framedata(
+            fr, self.m, self.last, self.last_feat_lm,
             self.R_last, self.t_last, vel_R, vel_t,
             jnp.asarray(self.has_vel), jnp.asarray(self.ref_kf, jnp.int32),
             self.cam.params, self.cam.kind, cfg)
+        return self._post_track(out_tuple, ts)
+
+    def _track(self, img, ts: float):
+        cfg = self.cfg
+        vel_R, vel_t = self.vel
+        if isinstance(img, tuple):
+            fr, out, vel_new, rel = track_step_stereo(
+                img[0], img[1], self.m, self.last, self.last_feat_lm,
+                self.R_last, self.t_last, vel_R, vel_t,
+                jnp.asarray(self.has_vel),
+                jnp.asarray(self.ref_kf, jnp.int32),
+                self.cam.params, self.cam.kind, cfg)
+        else:
+            fr, out, vel_new, rel = track_step(
+                img, self.m, self.last, self.last_feat_lm,
+                self.R_last, self.t_last, vel_R, vel_t,
+                jnp.asarray(self.has_vel),
+                jnp.asarray(self.ref_kf, jnp.int32),
+                self.cam.params, self.cam.kind, cfg)
+        return self._post_track((fr, out, vel_new, rel), ts)
+
+    def _post_track(self, out_tuple, ts: float):
+        cfg = self.cfg
+        fr, out, vel_new, rel = out_tuple
         n_inl = int(out.n_inl)
         if bool(self.has_vel) and n_inl < cfg.min_local_points:
             # the motion-model prediction may have poisoned the window
@@ -545,6 +789,9 @@ class Tracker:
         self.m, _ = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
                                     ts)
         self.n_kf_host += 1
+        if self.cfg.baseline > 0:
+            self.m = create_close_landmarks(
+                self.m, jnp.asarray(k, jnp.int32), fr, self.cfg)
         bow = self._db_add(k, fr)
         self.m = local_mapping.mapping_step(self.m, k, self.cam.params,
                                             self.cam.kind, self.cfg.lm_cfg)
