@@ -1,0 +1,225 @@
+"""Inertial optimization: IMU initialization (scale / gravity / bias /
+velocities) and the inertial residual used by visual-inertial BA.
+
+TPU-native replacement for the reference's Optimizer::InertialOptimization
+overloads (/root/reference/src/Optimizer.cc:2979,3158,3316) and the
+EdgeInertialGS 9-dof preintegration residual with gravity+scale vertices
+(G2oTypes.h:548): one Gauss-Newton program over
+{R_wg (2-dof), log s, bg, ba, v_0..v_K} with autodiff Jacobians, poses held
+fixed at their visual estimates — the classic Martinelli/Campos
+initialization the reference implements in LocalMapping::InitializeIMU
+(LocalMapping.cc:1131).
+
+Body frame == camera frame is assumed at this layer; callers apply T_bc
+up front (EuRoC plumbing carries it through ImuCalib).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import imu as imu_mod
+from .. import lie
+
+G = 9.81
+
+
+class KfImu(NamedTuple):
+    """Per-keyframe preintegration from the previous KF (index-aligned with
+    keyframes; entry k describes the IMU between prev(k) and k).
+
+    valid: (K,) bool — has a preintegration AND a valid prev.
+    prev: (K,) int32.
+    dt: (K,); dR: (K,3,3); dV, dP: (K,3)
+    J_Rg, J_Vg, J_Va, J_Pg, J_Pa: (K,3,3) bias Jacobians
+    info: (K,9,9) information of [r_R, r_v, r_p]
+    bias0: (K,6) integration bias
+    """
+    valid: jnp.ndarray
+    prev: jnp.ndarray
+    dt: jnp.ndarray
+    dR: jnp.ndarray
+    dV: jnp.ndarray
+    dP: jnp.ndarray
+    J_Rg: jnp.ndarray
+    J_Vg: jnp.ndarray
+    J_Va: jnp.ndarray
+    J_Pg: jnp.ndarray
+    J_Pa: jnp.ndarray
+    info: jnp.ndarray
+    bias0: jnp.ndarray
+
+
+def empty_kf_imu(max_kf: int) -> KfImu:
+    f32 = jnp.float32
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (max_kf, 3, 3)).copy()
+    z3 = jnp.zeros((max_kf, 3), f32)
+    z33 = jnp.zeros((max_kf, 3, 3), f32)
+    return KfImu(valid=jnp.zeros(max_kf, bool),
+                 prev=jnp.full(max_kf, -1, jnp.int32),
+                 dt=jnp.zeros(max_kf, f32), dR=eye, dV=z3, dP=z3,
+                 J_Rg=z33, J_Vg=z33, J_Va=z33, J_Pg=z33, J_Pa=z33,
+                 info=jnp.broadcast_to(jnp.eye(9, dtype=f32),
+                                       (max_kf, 9, 9)).copy(),
+                 bias0=jnp.zeros((max_kf, 6), f32))
+
+
+def set_kf_imu(ki: KfImu, k, pre: imu_mod.Preintegrated, prev) -> KfImu:
+    info = jnp.linalg.inv(pre.C[:9, :9]
+                          + 1e-9 * jnp.eye(9, dtype=pre.C.dtype))
+    info = 0.5 * (info + info.T)
+    return ki._replace(
+        valid=ki.valid.at[k].set(pre.dt > 1e-6),
+        prev=ki.prev.at[k].set(prev),
+        dt=ki.dt.at[k].set(pre.dt),
+        dR=ki.dR.at[k].set(pre.dR), dV=ki.dV.at[k].set(pre.dV),
+        dP=ki.dP.at[k].set(pre.dP),
+        J_Rg=ki.J_Rg.at[k].set(pre.J_Rg), J_Vg=ki.J_Vg.at[k].set(pre.J_Vg),
+        J_Va=ki.J_Va.at[k].set(pre.J_Va), J_Pg=ki.J_Pg.at[k].set(pre.J_Pg),
+        J_Pa=ki.J_Pa.at[k].set(pre.J_Pa),
+        info=ki.info.at[k].set(info),
+        bias0=ki.bias0.at[k].set(pre.bias))
+
+
+def _corrected_deltas(ki: KfImu, bg, ba):
+    """Bias-corrected preintegration deltas for every KF entry."""
+    dbg = bg[None, :] - ki.bias0[:, :3]
+    dba = ba[None, :] - ki.bias0[:, 3:]
+    dR = lie.matmat(ki.dR, lie.so3_exp(lie.matvec(ki.J_Rg, dbg)))
+    dV = ki.dV + lie.matvec(ki.J_Vg, dbg) + lie.matvec(ki.J_Va, dba)
+    dP = ki.dP + lie.matvec(ki.J_Pg, dbg) + lie.matvec(ki.J_Pa, dba)
+    return dR, dV, dP
+
+
+def inertial_residuals(ki: KfImu, R_wb, p_wb, v, bg, ba, g_world, scale):
+    """9-dim preintegration residuals for all KF pairs (reference
+    EdgeInertialGS::computeError, G2oTypes.h:548).
+
+    R_wb: (K,3,3) body->world rotations; p_wb: (K,3) body positions (the
+    *visual* map positions — scaled by `scale` inside); v: (K,3).
+    """
+    prev = jnp.clip(ki.prev, 0, None)
+    dR, dV, dP = _corrected_deltas(ki, bg, ba)
+    Ri = R_wb[prev]
+    Rj = R_wb
+    pi = p_wb[prev] * scale
+    pj = p_wb * scale
+    vi = v[prev]
+    vj = v
+    dt = ki.dt[:, None]
+    RiT = jnp.swapaxes(Ri, -1, -2)
+    r_R = lie.so3_log(lie.matmat(jnp.swapaxes(dR, -1, -2),
+                                 lie.matmat(RiT, Rj)))
+    r_v = lie.matvec(RiT, vj - vi - g_world[None, :] * dt) - dV
+    r_p = lie.matvec(RiT, pj - pi - vi * dt
+                     - 0.5 * g_world[None, :] * dt * dt) - dP
+    r = jnp.concatenate([r_R, r_v, r_p], axis=-1)       # (K, 9)
+    return jnp.where(ki.valid[:, None], r, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "opt_scale"))
+def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
+                           n_iters: int = 30, opt_scale: bool = True,
+                           prior_gyro: float = 1e2, prior_acc: float = 1e6):
+    """Estimate {gravity direction, scale, biases, velocities} with poses
+    fixed (reference InertialOptimization, Optimizer.cc:2979; priors follow
+    InitializeIMU's priorG/priorA schedule).
+
+    Returns (R_wg (3,3) gravity-alignment rotation, scale, bg, ba, v (K,3),
+    final cost). Apply with `apply_gauge`.
+    """
+    K = R_wb.shape[0]
+    f32 = R_wb.dtype
+
+    # params: [phi_g (2), log_s (1), bg (3), ba (3), v (K*3)]
+    n_par = 2 + 1 + 6 + 3 * K
+
+    def unpack(x):
+        phi = jnp.concatenate([x[:2], jnp.zeros(1, f32)])
+        R_wg = lie.so3_exp(phi)
+        s = jnp.exp(x[2]) if opt_scale else jnp.asarray(1.0, f32)
+        bg = x[3:6]
+        ba = x[6:9]
+        v = x[9:].reshape(K, 3)
+        return R_wg, s, bg, ba, v
+
+    g0 = jnp.asarray([0.0, 0.0, -G], f32)
+
+    def residuals(x):
+        R_wg, s, bg, ba, v = unpack(x)
+        g_world = lie.matvec(R_wg, g0)
+        r = inertial_residuals(ki, R_wb, p_wb, v, bg, ba, g_world, s)
+        # whiten by sqrt-info via info matmul in the normal equations; here
+        # return raw; weights applied in the GN step
+        r_bg = bg * jnp.sqrt(prior_gyro)
+        r_ba = ba * jnp.sqrt(prior_acc)
+        return r, r_bg, r_ba
+
+    w_kf = (ki.valid & kf_valid &
+            kf_valid[jnp.clip(ki.prev, 0, None)]).astype(f32)
+
+    def cost_of(x):
+        r, r_bg, r_ba = residuals(x)
+        quad = jnp.einsum('ki,kij,kj->k', r, ki.info, r,
+                          precision='highest')
+        return jnp.sum(quad * w_kf) + jnp.sum(r_bg ** 2) + jnp.sum(r_ba ** 2)
+
+    def gn_step(x, lam):
+        r, r_bg, r_ba = residuals(x)
+        Jfun = jax.jacfwd(lambda xx: residuals(xx)[0])
+        J = Jfun(x)                                     # (K, 9, n_par)
+        JtW = jnp.einsum('kap,kab->kbp', J, ki.info,
+                         precision='highest') * w_kf[:, None, None]
+        H = jnp.einsum('kbp,kbq->pq', JtW, J, precision='highest')
+        g = jnp.einsum('kbp,kb->p', JtW, r, precision='highest')
+        # bias priors
+        H = H.at[3:6, 3:6].add(prior_gyro * jnp.eye(3, dtype=f32))
+        H = H.at[6:9, 6:9].add(prior_acc * jnp.eye(3, dtype=f32))
+        g = g.at[3:6].add(prior_gyro * x[3:6])
+        g = g.at[6:9].add(prior_acc * x[6:9])
+        H = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
+        if not opt_scale:
+            H = H.at[2, :].set(0.0).at[:, 2].set(0.0).at[2, 2].set(1.0)
+            g = g.at[2].set(0.0)
+        dx = -jnp.linalg.solve(H, g)
+        return x + dx
+
+    def iteration(carry, _):
+        x, lam, cost = carry
+        x_new = gn_step(x, lam)
+        new_cost = cost_of(x_new)
+        accept = new_cost < cost
+        x = jnp.where(accept, x_new, x)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e6)
+        return (x, lam, cost), cost
+
+    x0 = jnp.zeros(n_par, f32)
+    (x, lam, cost), costs = jax.lax.scan(
+        iteration, (x0, jnp.asarray(1e-2, f32), cost_of(x0)), None,
+        length=n_iters)
+    R_wg, s, bg, ba, v = unpack(x)
+    return R_wg, s, bg, ba, v, costs
+
+
+def apply_gauge(kf_R, kf_t, lm_pos, v, R_wg, scale):
+    """Rotate the world so gravity is -z and rescale to metric units
+    (reference Map::ApplyScaledRotation + LocalMapping.cc:1221): world
+    transform T = [s * R_gw | 0]; poses T_cw <- T_cw * T^-1 in the Sim3
+    sense. Velocities rotate too.
+
+    Returns (kf_R', kf_t', lm_pos', v').
+    """
+    R_gw = jnp.swapaxes(R_wg, -1, -2)
+    # new world point: X' = s * R_gw X ; camera pose: R' = R R_wg,
+    # t' = s * t (so that projection of X' equals projection of X)
+    kf_R2 = lie.matmat(kf_R, R_wg[None])
+    kf_t2 = kf_t * scale
+    lm2 = scale * lie.matvec(R_gw[None], lm_pos)
+    # velocities are estimated in METRIC units by inertial_only_optimize
+    # (the residual scales positions, not velocities) — rotate only
+    v2 = lie.matvec(R_gw[None], v)
+    return kf_R2, kf_t2, lm2, v2
