@@ -120,10 +120,87 @@ def inertial_residuals(ki: KfImu, R_wb, p_wb, v, bg, ba, g_world, scale):
     return jnp.where(ki.valid[:, None], r, 0.0)
 
 
+@jax.jit
+def linear_alignment(ki: KfImu, R_wb, p_wb, kf_valid):
+    """Closed-form visual-inertial alignment: the constraints
+
+        s * dp_vis = v_i dt + 1/2 g dt^2 + R_i dP
+        v_j = v_i + g dt + R_i dV
+
+    are LINEAR in (s, g, v_0..v_K) — one least-squares solve, no local
+    minima (the Martinelli/VINS-Mono initialization; the reference reaches
+    the same estimate iteratively inside InertialOptimization).
+
+    Returns (s, g_vis (3,), v (K, 3)).
+    """
+    K = R_wb.shape[0]
+    f32 = R_wb.dtype
+    prev = jnp.clip(ki.prev, 0, None)
+    w = (ki.valid & kf_valid & kf_valid[prev]).astype(f32)
+    dt = ki.dt
+    dp = p_wb - p_wb[prev]                       # (K, 3)
+    Ri = R_wb[prev]
+    RdP = lie.matvec(Ri, ki.dP)
+    RdV = lie.matvec(Ri, ki.dV)
+    # unknown layout: [s, g(3), v(3K)]
+    n = 4 + 3 * K
+    eye3 = jnp.eye(3, dtype=f32)
+
+    def rows_p(k):
+        A = jnp.zeros((3, n), f32)
+        A = A.at[:, 0].set(dp[k])
+        A = A.at[:, 1:4].set(-0.5 * dt[k] ** 2 * eye3)
+        A = jax.lax.dynamic_update_slice(A, -dt[k] * eye3,
+                                         (0, 4 + 3 * prev[k]))
+        b = RdP[k]
+        return A * w[k], b * w[k]
+
+    def rows_v(k):
+        A = jnp.zeros((3, n), f32)
+        A = A.at[:, 1:4].set(-dt[k] * eye3)
+        A = jax.lax.dynamic_update_slice(A, -eye3, (0, 4 + 3 * prev[k]))
+        A = jax.lax.dynamic_update_slice(A, eye3, (0, 4 + 3 * k))
+        b = RdV[k]
+        return A * w[k], b * w[k]
+
+    ks = jnp.arange(K)
+    Ap, bp = jax.vmap(rows_p)(ks)
+    Av, bv = jax.vmap(rows_v)(ks)
+    A = jnp.concatenate([Ap.reshape(-1, n), Av.reshape(-1, n)])
+    b = jnp.concatenate([bp.reshape(-1), bv.reshape(-1)])
+    AtA = jnp.einsum('ri,rj->ij', A, A, precision='highest')
+    Atb = jnp.einsum('ri,r->i', A, b, precision='highest')
+    # anchor unused velocity blocks (w=0 rows leave them unconstrained)
+    AtA = AtA + 1e-6 * jnp.eye(n, dtype=f32)
+    x = jnp.linalg.solve(AtA, Atb)
+    s = x[0]
+    g = x[1:4]
+    v = x[4:].reshape(K, 3)
+    r = jnp.einsum('ri,i->r', A, x, precision='highest') - b
+    rms = jnp.sqrt(jnp.sum(r * r) / jnp.clip(jnp.sum(w) * 6.0, 1.0, None))
+    return s, g, v, rms
+
+
+def gravity_rotation(g_vis):
+    """R_wg with R_wg @ (0,0,-9.81) ~ g_vis (reference InitializeIMU's
+    gravity alignment, LocalMapping.cc:1166-1193)."""
+    g0 = jnp.asarray([0.0, 0.0, -1.0], g_vis.dtype)
+    gn = g_vis / jnp.clip(jnp.linalg.norm(g_vis), 1e-9, None)
+    axis = jnp.cross(g0, gn)
+    sin = jnp.clip(jnp.linalg.norm(axis), 0.0, 1.0)
+    cos = jnp.dot(g0, gn)
+    ang = jnp.arctan2(sin, cos)
+    axis = axis / jnp.where(sin < 1e-8, 1.0, sin)
+    axis = jnp.where(sin < 1e-8, jnp.asarray([1.0, 0.0, 0.0], g_vis.dtype),
+                     axis)
+    return lie.so3_exp(axis * ang)
+
+
 @partial(jax.jit, static_argnames=("n_iters", "opt_scale"))
 def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
                            n_iters: int = 30, opt_scale: bool = True,
-                           prior_gyro: float = 1e2, prior_acc: float = 1e6):
+                           prior_gyro: float = 1e2, prior_acc: float = 1e6,
+                           s0=1.0, v0=None, R_wg0=None):
     """Estimate {gravity direction, scale, biases, velocities} with poses
     fixed (reference InertialOptimization, Optimizer.cc:2979; priors follow
     InitializeIMU's priorG/priorA schedule).
@@ -137,9 +214,11 @@ def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
     # params: [phi_g (2), log_s (1), bg (3), ba (3), v (K*3)]
     n_par = 2 + 1 + 6 + 3 * K
 
+    base = jnp.eye(3, dtype=f32) if R_wg0 is None else R_wg0
+
     def unpack(x):
         phi = jnp.concatenate([x[:2], jnp.zeros(1, f32)])
-        R_wg = lie.so3_exp(phi)
+        R_wg = lie.matmat(lie.so3_exp(phi), base)
         s = jnp.exp(x[2]) if opt_scale else jnp.asarray(1.0, f32)
         bg = x[3:6]
         ba = x[6:9]
@@ -161,9 +240,19 @@ def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
     w_kf = (ki.valid & kf_valid &
             kf_valid[jnp.clip(ki.prev, 0, None)]).astype(f32)
 
+    # noise floor: the visual poses entering the residuals carry their own
+    # error (and early monocular maps have scale drift); without a floor the
+    # raw preintegration information (1e6-1e8) lets those systematic errors
+    # dominate and the MAP estimate collapses the scale to escape them
+    floor = jnp.diag(jnp.asarray(
+        [9e-6] * 3 + [1e-4] * 3 + [2.5e-5] * 3, f32))   # sigma .003/.01/.005
+    cov_eff = jnp.linalg.inv(ki.info) + floor[None]
+    info_eff = jnp.linalg.inv(cov_eff)
+    info_eff = 0.5 * (info_eff + jnp.swapaxes(info_eff, -1, -2))
+
     def cost_of(x):
         r, r_bg, r_ba = residuals(x)
-        quad = jnp.einsum('ki,kij,kj->k', r, ki.info, r,
+        quad = jnp.einsum('ki,kij,kj->k', r, info_eff, r,
                           precision='highest')
         return jnp.sum(quad * w_kf) + jnp.sum(r_bg ** 2) + jnp.sum(r_ba ** 2)
 
@@ -171,7 +260,7 @@ def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
         r, r_bg, r_ba = residuals(x)
         Jfun = jax.jacfwd(lambda xx: residuals(xx)[0])
         J = Jfun(x)                                     # (K, 9, n_par)
-        JtW = jnp.einsum('kap,kab->kbp', J, ki.info,
+        JtW = jnp.einsum('kap,kab->kbp', J, info_eff,
                          precision='highest') * w_kf[:, None, None]
         H = jnp.einsum('kbp,kbq->pq', JtW, J, precision='highest')
         g = jnp.einsum('kbp,kb->p', JtW, r, precision='highest')
@@ -180,7 +269,10 @@ def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
         H = H.at[6:9, 6:9].add(prior_acc * jnp.eye(3, dtype=f32))
         g = g.at[3:6].add(prior_gyro * x[3:6])
         g = g.at[6:9].add(prior_acc * x[6:9])
-        H = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8))
+        # absolute floor keeps unconstrained velocity blocks (invalid KFs)
+        # from making the solve singular
+        H = H + lam * jnp.diag(jnp.maximum(jnp.diagonal(H), 1e-8)) \
+            + 1e-4 * jnp.eye(n_par, dtype=f32)
         if not opt_scale:
             H = H.at[2, :].set(0.0).at[:, 2].set(0.0).at[2, 2].set(1.0)
             g = g.at[2].set(0.0)
@@ -198,10 +290,15 @@ def inertial_only_optimize(ki: KfImu, R_wb, p_wb, kf_valid,
         return (x, lam, cost), cost
 
     x0 = jnp.zeros(n_par, f32)
+    x0 = x0.at[2].set(jnp.log(jnp.asarray(s0, f32)))
+    if v0 is not None:
+        x0 = x0.at[9:].set(v0.reshape(-1))
     (x, lam, cost), costs = jax.lax.scan(
         iteration, (x0, jnp.asarray(1e-2, f32), cost_of(x0)), None,
         length=n_iters)
     R_wg, s, bg, ba, v = unpack(x)
+    n_edges = jnp.clip(jnp.sum(w_kf), 1.0, None)
+    costs = costs / (9.0 * n_edges)     # mean chi2 per residual dim
     return R_wg, s, bg, ba, v, costs
 
 

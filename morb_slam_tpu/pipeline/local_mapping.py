@@ -39,6 +39,10 @@ class LocalMapConfig(NamedTuple):
     scale: float = 1.2
     n_levels: int = 8
     baseline: float = 0.0
+    # keyframe culling breaks the KF-to-KF preintegration chain; the
+    # reference merges preintegrations on cull (KeyFrame culling ->
+    # MergePrevious) — until that lands, inertial configs keep all KFs
+    inertial: bool = False
 
     @property
     def sigma2_inv(self):
@@ -319,6 +323,7 @@ def mapping_step(m: ms.MapState, kf_id, cam_params, cam_kind,
     m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
     m = cull_landmarks(m, kf_id)
     m = local_bundle_adjustment(m, kf_id, cfg)
-    m = cull_keyframes(m, kf_id)
+    if not cfg.inertial:
+        m = cull_keyframes(m, kf_id)
     m = ms.update_landmark_stats(m)
     return m

@@ -30,6 +30,11 @@ MAX_LOCAL_LM = 4096
 LOCAL_KFS = 10
 
 
+def tracking_replace_inertial(cfg):
+    import dataclasses
+    return dataclasses.replace(cfg, inertial=True)
+
+
 @dataclass(frozen=True)
 class TrackerConfig:
     width: int
@@ -64,11 +69,13 @@ class TrackerConfig:
         return frontend.OrbConfig(n_features=self.n_feat,
                                   n_levels=self.n_levels, scale=self.scale)
 
+    inertial: bool = False
+
     @property
     def lm_cfg(self):
         return local_mapping.LocalMapConfig(
             focal=self.focal, scale=self.scale, n_levels=self.n_levels,
-            baseline=self.baseline)
+            baseline=self.baseline, inertial=self.inertial)
 
 
 class FrameData(NamedTuple):
@@ -101,9 +108,9 @@ def extract_frame(img, cam_params, cam_kind, cfg: TrackerConfig) -> FrameData:
     cam = cameras.Camera(cam_kind, cam_params)
     feats = frontend.extract_orb(img, cfg.orb)
     uv = cameras.undistort_points(cam, feats.uv)
-    mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
-    my = (uv[:, 1] - cam_params[3]) / cam_params[1]
-    xn = jnp.stack([mx, my], axis=-1)
+    # normalized coords via the camera model (KB8 fisheye needs the Newton
+    # unprojection — a pinhole K-normalize would be badly wrong off-axis)
+    xn = cameras.unproject(cam, uv)[:, :2]
     F = uv.shape[0]
     return FrameData(uv=uv, xn=xn, octave=feats.octave, angle=feats.angle,
                      desc=feats.desc, valid=feats.valid,
@@ -220,11 +227,10 @@ def extract_stereo_frame(img_l, img_r, cam_params, cam_kind,
                                  bf=cfg.baseline * cfg.focal,
                                  min_z=cfg.baseline)
     uv = cameras.undistort_points(cam, feats_l.uv)
-    mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
-    my = (uv[:, 1] - cam_params[3]) / cam_params[1]
+    xn = cameras.unproject(cam, uv)[:, :2]
     ur_n = jnp.where(sm.valid, (sm.u_right - cam_params[2]) / cam_params[0],
                      jnp.nan)
-    return FrameData(uv=uv, xn=jnp.stack([mx, my], -1),
+    return FrameData(uv=uv, xn=xn,
                      octave=feats_l.octave, angle=feats_l.angle,
                      desc=feats_l.desc, valid=feats_l.valid,
                      ur=ur_n, depth=jnp.where(sm.valid, sm.depth, -1.0))
@@ -242,11 +248,10 @@ def extract_rgbd_frame(img, depth_map, cam_params, cam_kind,
     sm = stereo_ops.depth_from_rgbd(feats, depth_map,
                                     bf=cfg.baseline * cfg.focal)
     uv = cameras.undistort_points(cam, feats.uv)
-    mx = (uv[:, 0] - cam_params[2]) / cam_params[0]
-    my = (uv[:, 1] - cam_params[3]) / cam_params[1]
+    xn = cameras.unproject(cam, uv)[:, :2]
     ur_n = jnp.where(sm.valid, (sm.u_right - cam_params[2]) / cam_params[0],
                      jnp.nan)
-    return FrameData(uv=uv, xn=jnp.stack([mx, my], -1), octave=feats.octave,
+    return FrameData(uv=uv, xn=xn, octave=feats.octave,
                      angle=feats.angle, desc=feats.desc, valid=feats.valid,
                      ur=ur_n, depth=jnp.where(sm.valid, sm.depth, -1.0))
 
@@ -336,14 +341,18 @@ def create_close_landmarks(m: ms.MapState, kf_id, fr: FrameData,
 
 
 def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
-                has_vel, ref_kf, cam_params, cam_kind, cfg):
+                has_vel, ref_kf, cam_params, cam_kind, cfg,
+                vel_rot_trusted=False):
     damp = cfg.vel_rot_damp
     if damp == 0.0:
-        vel_R_used = jnp.eye(3)
+        vel_R_damped = jnp.eye(3)
     elif damp < 1.0:
-        vel_R_used = lie.so3_exp(damp * lie.so3_log(vel_R))
+        vel_R_damped = lie.so3_exp(damp * lie.so3_log(vel_R))
     else:
-        vel_R_used = vel_R
+        vel_R_damped = vel_R
+    # IMU-derived predictions carry a gyro-integrated rotation — trusted,
+    # no damping (the damping exists to tame visual velocity feedback)
+    vel_R_used = jnp.where(vel_rot_trusted, vel_R, vel_R_damped)
     vel_R_used = jnp.where(has_vel, vel_R_used, jnp.eye(3))
     vel_t_used = jnp.where(has_vel, vel_t, jnp.zeros(3))
     out = track_frame(m, fr, last, last_feat_lm, R_last, t_last,
@@ -362,33 +371,38 @@ def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def track_step(img, m: ms.MapState, last: FrameData, last_feat_lm,
                R_last, t_last, vel_R, vel_t, has_vel, ref_kf,
-               cam_params, cam_kind, cfg: TrackerConfig):
+               cam_params, cam_kind, cfg: TrackerConfig,
+               vel_rot_trusted=False):
     """Fused per-frame program: ORB extraction + tracking + velocity update
     + trajectory-relative pose, ONE device dispatch (the per-frame path must
     stay at <= 2 dispatches incl. the scalar readback; SURVEY.md §7 #4)."""
     fr = extract_frame(img, cam_params, cam_kind, cfg)
     return _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R,
-                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg)
+                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg,
+                       vel_rot_trusted)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def track_step_framedata(fr: FrameData, m: ms.MapState, last: FrameData,
                          last_feat_lm, R_last, t_last, vel_R, vel_t,
                          has_vel, ref_kf, cam_params, cam_kind,
-                         cfg: TrackerConfig):
+                         cfg: TrackerConfig, vel_rot_trusted=False):
     return _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R,
-                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg)
+                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg,
+                       vel_rot_trusted)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def track_step_stereo(img_l, img_r, m: ms.MapState, last: FrameData,
                       last_feat_lm, R_last, t_last, vel_R, vel_t, has_vel,
-                      ref_kf, cam_params, cam_kind, cfg: TrackerConfig):
+                      ref_kf, cam_params, cam_kind, cfg: TrackerConfig,
+                      vel_rot_trusted=False):
     """Stereo per-frame program: dual extraction + row matching + tracking,
     one dispatch."""
     fr = extract_stereo_frame(img_l, img_r, cam_params, cam_kind, cfg)
     return _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R,
-                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg)
+                       vel_t, has_vel, ref_kf, cam_params, cam_kind, cfg,
+                       vel_rot_trusted)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -535,6 +549,38 @@ def create_initial_map(m: ms.MapState, fr0: FrameData, fr1: FrameData,
     return m, k1
 
 
+@jax.jit
+def imu_predict(R_cw, t_cw, v, bias, acc, gyro, dts, mask, calib):
+    """Dead-reckon from the last frame's state with this frame's IMU batch
+    (reference Tracking::PredictStateIMU, Tracking.cc:1632). Body frame ==
+    camera frame at this layer. Returns predicted (R_cw, t_cw)."""
+    from .. import imu as imu_mod
+    pre = imu_mod.preintegrate(acc, gyro, dts, mask, bias, calib)
+    R_wb = R_cw.T
+    p = -lie.matvec(R_wb, t_cw)
+    R_wb2, p2, v2 = imu_mod.predict_state(R_wb, p, v, bias, pre)
+    R_cw2 = R_wb2.T
+    t_cw2 = -lie.matvec(R_cw2, p2)
+    return R_cw2, t_cw2, v2
+
+
+@jax.jit
+def apply_imu_gauge(m: ms.MapState, R_wg, scale, v_kf, bias):
+    """Rotate + rescale the whole map after IMU initialization (reference
+    Map::ApplyScaledRotation, Map.h:118 + LocalMapping.cc:1221)."""
+    from ..optim import inertial as inertial_mod
+    kf_R2, kf_t2, lm2, v2 = inertial_mod.apply_gauge(
+        m.kf_R, m.kf_t, m.lm_pos, v_kf, R_wg, scale)
+    return m._replace(
+        kf_R=jnp.where(m.kf_valid[:, None, None], kf_R2, m.kf_R),
+        kf_t=jnp.where(m.kf_valid[:, None], kf_t2, m.kf_t),
+        lm_pos=jnp.where(m.lm_valid[:, None], lm2, m.lm_pos),
+        kf_v=jnp.where(m.kf_valid[:, None], v2, m.kf_v),
+        kf_bias=jnp.where(m.kf_valid[:, None], bias[None, :], m.kf_bias),
+        lm_dist_max=jnp.where(m.lm_valid, m.lm_dist_max * scale,
+                              m.lm_dist_max))
+
+
 # ---------------------------------------------------------------------------
 # host state machine
 # ---------------------------------------------------------------------------
@@ -545,12 +591,37 @@ class Tracker:
     States: NO_IMAGES -> NOT_INITIALIZED -> OK <-> RECENTLY_LOST -> LOST.
     """
 
+    IMU_BUF = 768   # max IMU samples accumulated between keyframes
+
     def __init__(self, cam: cameras.Camera, cfg: TrackerConfig,
-                 voc=None):
+                 voc=None, imu_calib=None):
         self.cam = cam
         self.cfg = cfg
         self.voc = voc
         self.db = None
+        # --- inertial state (reference Tracking IMU members) ---
+        self.calib = imu_calib
+        # IMU dead-reckoning prediction needs accurate per-frame velocity
+        # states, which the reference maintains with per-frame
+        # pose-inertial optimization (PoseInertialOptimizationLastFrame) —
+        # until that lands (round 2), finite-difference velocities make the
+        # prediction actively harmful (A/B: stereo ATE 0.011 -> 0.76 with
+        # it on), so it stays off by default
+        self.imu_predict_ok = False
+        if imu_calib is not None and not cfg.inertial:
+            object.__setattr__(cfg, "__dict__", dict(cfg.__dict__))  # no-op
+            cfg = tracking_replace_inertial(cfg)
+            self.cfg = cfg
+        self.imu_ready = False
+        self.v_cur = jnp.zeros(3)
+        self.bias = jnp.zeros(6)
+        self.kf_imu = None
+        self.imu_buf = []          # samples since last keyframe
+        self.ts_first_kf = None
+        self.viba_stage = 0
+        if imu_calib is not None:
+            from ..optim import inertial as inertial_mod
+            self.kf_imu = inertial_mod.empty_kf_imu(cfg.max_kf)
         self.loop_closer = None
         self.n_loops_closed = 0
         if voc is not None:
@@ -575,6 +646,7 @@ class Tracker:
         self.frames_since_kf = 0
         self.key = jax.random.PRNGKey(7)
         self.frames_lost = 0
+        self._mapping_enabled = True
         # trajectory: list of (ts, ref_kf, R_cr, t_cr) relative to ref KF
         self.trajectory = []
         self.n_frames = 0
@@ -640,6 +712,155 @@ class Tracker:
         self.trajectory.append((ts, int(k0), jnp.eye(3), jnp.zeros(3)))
         return self.state, (self.R_last, self.t_last)
 
+    def track_mono_inertial(self, img, ts: float, imu_acc, imu_gyro,
+                            imu_ts):
+        """Monocular-inertial frame (reference System::TrackMonocular with
+        IMU batch): samples cover (t_lastframe, ts]."""
+        self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
+        if self.imu_ready and self.imu_predict_ok and \
+                self.state == "OK" and self.last is not None:
+            self._set_imu_prediction()
+        out = self.track_mono(img, ts)
+        self._after_inertial_frame(ts)
+        return out
+
+    def track_stereo_inertial(self, img_l, img_r, ts: float, imu_acc,
+                              imu_gyro, imu_ts):
+        self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
+        if self.imu_ready and self.imu_predict_ok and \
+                self.state == "OK" and self.last is not None:
+            self._set_imu_prediction()
+        out = self.track_stereo(img_l, img_r, ts)
+        self._after_inertial_frame(ts)
+        return out
+
+    def _accumulate_imu(self, acc, gyro, ts_arr, frame_ts):
+        if self.calib is None or len(ts_arr) == 0:
+            self._frame_imu = None
+            return
+        acc = np.asarray(acc, np.float32)
+        gyro = np.asarray(gyro, np.float32)
+        ts_arr = np.asarray(ts_arr)
+        prev = getattr(self, "_last_frame_ts", ts_arr[0] - 0.005)
+        dts = np.diff(np.concatenate([[prev], ts_arr])).astype(np.float32)
+        # last interval extends to the frame timestamp
+        if frame_ts > ts_arr[-1]:
+            dts[-1] += frame_ts - ts_arr[-1]
+        self._frame_imu = (acc, gyro, dts)
+        self.imu_buf.append((frame_ts, acc, gyro, dts))
+        self._last_frame_ts = frame_ts
+
+    def _set_imu_prediction(self):
+        acc, gyro, dts = self._padded_frame_imu()
+        if acc is None:
+            return
+        R_pred, t_pred, v_pred = imu_predict(
+            self.R_last, self.t_last, self.v_cur, self.bias,
+            acc, gyro, dts, dts > 0, self.calib)
+        Ri, ti = lie.se3_inv(self.R_last, self.t_last)
+        self.vel = lie.se3_mul(R_pred, t_pred, Ri, ti)
+        self.has_vel = True
+        self._vel_trusted = True
+        self._v_pred = v_pred
+
+    def _padded_frame_imu(self, cap=64):
+        if getattr(self, "_frame_imu", None) is None:
+            return None, None, None
+        acc, gyro, dts = self._frame_imu
+        n = len(dts)
+        if n > cap:
+            acc, gyro, dts = acc[-cap:], gyro[-cap:], dts[-cap:]
+            n = cap
+        pad = cap - n
+        z = np.zeros((pad, 3), np.float32)
+        return (jnp.asarray(np.concatenate([acc, z])),
+                jnp.asarray(np.concatenate([gyro, z])),
+                jnp.asarray(np.concatenate([dts, np.zeros(pad,
+                                                          np.float32)])))
+
+    def _after_inertial_frame(self, ts: float):
+        if self.calib is None or self.state != "OK":
+            return
+        # finite-difference world velocity (full inertial-frame optimization
+        # refines it at keyframes; reference PoseInertialOptimization)
+        if getattr(self, "_prev_pose_for_v", None) is not None:
+            (R0, t0, t_prev) = self._prev_pose_for_v
+            dt = max(ts - t_prev, 1e-3)
+            c1 = -lie.matvec(self.R_last.T, self.t_last)
+            c0 = -lie.matvec(R0.T, t0)
+            v = (c1 - c0) / dt
+            v = jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+            self.v_cur = jnp.clip(v, -20.0, 20.0)
+        self._prev_pose_for_v = (self.R_last, self.t_last, ts)
+        self._maybe_init_imu(ts)
+
+    def _maybe_init_imu(self, ts: float):
+        """Staged IMU initialization (reference LocalMapping::InitializeIMU
+        at first chance, VIBA refinements later; LocalMapping.cc:212-272)."""
+        from ..optim import inertial as inertial_mod
+        if self.calib is None or self.ts_first_kf is None:
+            return
+        elapsed = ts - self.ts_first_kf
+        n_kf = self.n_kf_host
+        stage_specs = [(2.0, 10, 1e2, 1e10), (5.0, 10, 1.0, 1e5),
+                       (15.0, 10, 0.0, 0.0)]
+        if self.viba_stage >= len(stage_specs):
+            return
+        t_min, kf_min, pg, pa = stage_specs[self.viba_stage]
+        if elapsed < t_min or n_kf < kf_min:
+            return
+        m = self.m
+        R_wb = jnp.swapaxes(m.kf_R, -1, -2)
+        p_wb = -lie.matvec(R_wb, m.kf_t)
+        mono = self.cfg.baseline == 0.0
+        # scale/gravity come from the CLOSED-FORM linear alignment over a
+        # RECENT keyframe window (the early monocular map carries scale
+        # drift that poisons a whole-history fit); the GN then refines
+        # gravity direction, biases and velocities at FIXED scale — with
+        # scale out of the GN there is no collapse mode
+        K = m.kf_valid.shape[0]
+        recent = m.kf_valid & (jnp.arange(K) >= max(n_kf - 14, 0))
+        s_lin, g_lin, v_lin, rms = inertial_mod.linear_alignment(
+            self.kf_imu, R_wb, p_wb, recent)
+        g_norm = float(jnp.linalg.norm(g_lin))
+        # monocular scale from the inertial-only alignment is NOT reliable
+        # enough to re-gauge the map (needs the full visual-inertial BA,
+        # round 2) — mono applies the GRAVITY ROTATION only; stereo/RGB-D
+        # maps are already metric (s = 1)
+        s_f = 1.0
+        if not (9.0 < g_norm < 10.6) or float(rms) > 0.03:
+            # inconsistent alignment (drifty map / weak excitation) — retry
+            return
+        R_wg0 = inertial_mod.gravity_rotation(g_lin)
+        R_wg, s, bg, ba, v_e, costs = inertial_mod.inertial_only_optimize(
+            self.kf_imu, R_wb, p_wb * s_f, recent, n_iters=25,
+            opt_scale=False,
+            prior_gyro=max(pg, 1e-2), prior_acc=max(pa, 1e-2),
+            v0=v_lin, R_wg0=R_wg0)
+        if not bool(jnp.isfinite(v_e).all() & jnp.isfinite(R_wg).all()
+                    & jnp.isfinite(bg).all() & jnp.isfinite(ba).all()):
+            return
+        self.bias = jnp.concatenate([bg, ba])
+        if not self.imu_ready:
+            self.m = apply_imu_gauge(m, R_wg, jnp.asarray(s_f, jnp.float32),
+                                     v_e, self.bias)
+            # gauge also moves the tracker's anchors + trajectory
+            Rl, tl = self.R_last, self.t_last
+            self.R_last = lie.matmat(Rl, R_wg)
+            self.t_last = tl * s_f
+            self.v_cur = lie.matvec(R_wg.T, self.v_cur)
+            self.trajectory = [
+                (t_, r_, R_cr, t_cr * s_f)
+                for (t_, r_, R_cr, t_cr) in self.trajectory]
+            self.has_vel = False
+            self.imu_ready = True
+        else:
+            self.m = self.m._replace(
+                kf_v=jnp.where(self.m.kf_valid[:, None], v_e, self.m.kf_v),
+                kf_bias=jnp.where(self.m.kf_valid[:, None],
+                                  self.bias[None, :], self.m.kf_bias))
+        self.viba_stage += 1
+
     def track_mono(self, img, ts: float):
         """One grayscale frame -> (state, T_cw or None)."""
         self.n_frames += 1
@@ -680,6 +901,11 @@ class Tracker:
             res.is_good, self.ts_init, ts, cfg)
         self._db_add(int(k1) - 1, self.fr_init)
         self._db_add(int(k1), fr)
+        if self.calib is not None:
+            # KF0's timestamp bounds KF1's preintegration window
+            self._last_kf_ts = self.ts_init
+            self.ts_first_kf = self.ts_init
+            self._record_kf_imu(int(k1), ts)
         self.last = fr
         self.last_feat_lm = self.m.kf_feat_lm[int(k1)]
         self.R_last = self.m.kf_R[int(k1)]
@@ -702,27 +928,53 @@ class Tracker:
             fr, self.m, self.last, self.last_feat_lm,
             self.R_last, self.t_last, vel_R, vel_t,
             jnp.asarray(self.has_vel), jnp.asarray(self.ref_kf, jnp.int32),
-            self.cam.params, self.cam.kind, cfg)
+            self.cam.params, self.cam.kind, cfg,
+            jnp.asarray(self._take_vel_trust()))
         return self._post_track(out_tuple, ts)
 
     def _track(self, img, ts: float):
         cfg = self.cfg
+        if self.last is None:
+            # no tracking context (e.g. a freshly loaded atlas):
+            # relocalization is the only way in
+            if isinstance(img, tuple):
+                fr = extract_stereo_frame(img[0], img[1], self.cam.params,
+                                          self.cam.kind, cfg)
+            else:
+                fr = extract_frame(img, self.cam.params, self.cam.kind, cfg)
+            if self._try_relocalize(fr):
+                return self.state, (self.R_last, self.t_last)
+            return self.state, None
         vel_R, vel_t = self.vel
+        trust = jnp.asarray(self._take_vel_trust())
         if isinstance(img, tuple):
             fr, out, vel_new, rel = track_step_stereo(
                 img[0], img[1], self.m, self.last, self.last_feat_lm,
                 self.R_last, self.t_last, vel_R, vel_t,
                 jnp.asarray(self.has_vel),
                 jnp.asarray(self.ref_kf, jnp.int32),
-                self.cam.params, self.cam.kind, cfg)
+                self.cam.params, self.cam.kind, cfg, trust)
         else:
             fr, out, vel_new, rel = track_step(
                 img, self.m, self.last, self.last_feat_lm,
                 self.R_last, self.t_last, vel_R, vel_t,
                 jnp.asarray(self.has_vel),
                 jnp.asarray(self.ref_kf, jnp.int32),
-                self.cam.params, self.cam.kind, cfg)
+                self.cam.params, self.cam.kind, cfg, trust)
         return self._post_track((fr, out, vel_new, rel), ts)
+
+    def _take_vel_trust(self):
+        t = getattr(self, "_vel_trusted", False)
+        self._vel_trusted = False
+        return t
+
+    def _recompute_vel_rel(self, out):
+        Ri, ti = lie.se3_inv(self.R_last, self.t_last)
+        vel_new = lie.se3_mul(out.R, out.t, Ri, ti)
+        Rr, tr_ = self.m.kf_R[out.ref_kf], self.m.kf_t[out.ref_kf]
+        Rri, tri = lie.se3_inv(Rr, tr_)
+        rel = lie.se3_mul(out.R, out.t, Rri, tri)
+        return vel_new, rel
 
     def _post_track(self, out_tuple, ts: float):
         cfg = self.cfg
@@ -733,13 +985,14 @@ class Tracker:
             # search (overshoot confirms itself on repetitive texture) —
             # retry prediction-free (reference falls back to
             # TrackReferenceKeyFrame, Tracking.cc:2727)
-            out2 = track_frame(self.m, fr, self.last, self.last_feat_lm,
-                               self.R_last, self.t_last, jnp.eye(3),
-                               jnp.zeros(3),
-                               jnp.asarray(self.ref_kf, jnp.int32),
-                               self.cam.params, self.cam.kind, cfg)
+            _, out2, vel2, rel2 = track_step_framedata(
+                fr, self.m, self.last, self.last_feat_lm,
+                self.R_last, self.t_last, jnp.eye(3), jnp.zeros(3),
+                jnp.asarray(False), jnp.asarray(self.ref_kf, jnp.int32),
+                self.cam.params, self.cam.kind, cfg)
             if int(out2.n_inl) > n_inl:
                 out, n_inl = out2, int(out2.n_inl)
+                vel_new, rel = vel2, rel2
         if n_inl < cfg.min_local_points:
             # brute-force match against the reference keyframe
             Rr, tr_, lm_r, n_r = track_reference_kf(
@@ -749,6 +1002,7 @@ class Tracker:
                 out = out._replace(R=Rr, t=tr_, feat_lm=lm_r, n_inl=n_r)
                 n_inl = int(n_r)
                 self.has_vel = False
+                vel_new, rel = self._recompute_vel_rel(out)
         self.m = out.m
         if n_inl < cfg.min_track_points:
             self.state = "RECENTLY_LOST"
@@ -762,8 +1016,11 @@ class Tracker:
         self.frames_lost = 0
 
         self.state = "OK"
-        self.vel = vel_new
-        self.has_vel = True
+        if bool(jnp.isfinite(vel_new[1]).all()):
+            self.vel = vel_new
+            self.has_vel = True
+        else:
+            self.has_vel = False
         self.R_last, self.t_last = out.R, out.t
         self.last = fr
         self.last_feat_lm = out.feat_lm
@@ -778,7 +1035,8 @@ class Tracker:
                 (n_inl < cfg.kf_ref_ratio * max(self.ref_matches, 1)
                  and self.frames_since_kf >= cfg.min_kf_interval)) \
             and n_inl > 15
-        if need and self.n_kf_host < cfg.max_kf - 1:
+        if need and self._mapping_enabled and \
+                self.n_kf_host < cfg.max_kf - 1:
             self._insert_keyframe(fr, out, ts)
         return self.state, (out.R, out.t)
 
@@ -789,6 +1047,7 @@ class Tracker:
         self.m, _ = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
                                     ts)
         self.n_kf_host += 1
+        self._record_kf_imu(k, ts)
         if self.cfg.baseline > 0:
             self.m = create_close_landmarks(
                 self.m, jnp.asarray(k, jnp.int32), fr, self.cfg)
@@ -806,6 +1065,44 @@ class Tracker:
         self.R_last = self.m.kf_R[k]
         self.t_last = self.m.kf_t[k]
         self.frames_since_kf = 0
+
+    def _record_kf_imu(self, k: int, ts: float):
+        if self.calib is None:
+            return
+        from .. import imu as imu_mod
+        from ..optim import inertial as inertial_mod
+        if self.ts_first_kf is None:
+            self.ts_first_kf = ts
+        # only samples newer than the previous keyframe belong to this
+        # preintegration (matters for the two mono-init keyframes, whose
+        # buffer reaches back to the very first frame)
+        prev_ts = getattr(self, "_last_kf_ts", -np.inf)
+        buf = [(ft, a, g, d) for (ft, a, g, d) in self.imu_buf
+               if ft > prev_ts + 1e-9]
+        self._last_kf_ts = ts
+        if buf and k > 0:
+            acc = np.concatenate([a for ft, a, g, d in buf])
+            gyro = np.concatenate([g for ft, a, g, d in buf])
+            dts = np.concatenate([d for ft, a, g, d in buf])
+            n = len(dts)
+            cap = self.IMU_BUF
+            if n > cap:
+                acc, gyro, dts = acc[-cap:], gyro[-cap:], dts[-cap:]
+                n = cap
+            pad = cap - n
+            z = np.zeros((pad, 3), np.float32)
+            pre = imu_mod.preintegrate(
+                jnp.asarray(np.concatenate([acc, z])),
+                jnp.asarray(np.concatenate([gyro, z])),
+                jnp.asarray(np.concatenate([dts,
+                                            np.zeros(pad, np.float32)])),
+                jnp.arange(cap) < n, self.bias, self.calib)
+            self.kf_imu = inertial_mod.set_kf_imu(
+                self.kf_imu, k, pre, k - 1)
+            self.m = self.m._replace(
+                kf_v=self.m.kf_v.at[k].set(self.v_cur),
+                kf_bias=self.m.kf_bias.at[k].set(self.bias))
+        self.imu_buf = []
 
     def _db_add(self, kf_id: int, fr: FrameData):
         if self.db is None:

@@ -107,3 +107,58 @@ def camera_path(n_frames, step=0.04, seed=5):
         t_cw = -R_cw @ center
         poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
     return poses
+
+
+# ---------------------------------------------------------------------------
+# analytic trajectory + IMU generation (for inertial tests)
+# ---------------------------------------------------------------------------
+
+GRAVITY_W = np.array([0.0, 0.0, -9.81])
+
+
+def analytic_pose(t, speed=1.0):
+    """Continuous version of camera_path: t in seconds, 20 fps equivalent
+    (frame i = t / 0.05). Returns (R_cw, t_cw) in FLOAT64 (IMU generation
+    differentiates this trajectory — f32 would wreck the accelerations);
+    world gravity is -z."""
+    from scipy.spatial.transform import Rotation as _Rot
+    i = t / 0.05
+    yaw = 0.1 * np.sin(i * 0.08)
+    pitch = 0.02 * np.sin(i * 0.13)
+    # accelerated motion: scale is only IMU-observable with real
+    # accelerations (~1 m/s^2 here), like the reference's requirement of
+    # excited motion before mono-inertial init succeeds
+    center = np.array([speed * t + 0.35 * np.sin(2.0 * t),
+                       0.15 * np.sin(1.9 * t),
+                       0.08 * np.sin(2.4 * t)])
+    R_wc = _Rot.from_rotvec([pitch, yaw, 0.0]).as_matrix()
+    R_cw = R_wc.T
+    return R_cw, -R_cw @ center
+
+
+def imu_between(t0, t1, freq=200.0, rng=None, noise_g=0.0, noise_a=0.0):
+    """IMU samples in (t0, t1]: finite-difference body rates and specific
+    force from the analytic trajectory (f64 end to end)."""
+    from scipy.spatial.transform import Rotation as _Rot
+    h = 2e-3
+    ts = np.arange(np.floor(t0 * freq) + 1, np.floor(t1 * freq) + 1) / freq
+    acc, gyr = [], []
+    for t in ts:
+        R_cw, _ = analytic_pose(t)
+        R_wb = R_cw.T
+        R_cw2, _ = analytic_pose(t + h)
+        W = R_wb.T @ R_cw2.T
+        w = _Rot.from_matrix(W).as_rotvec() / h
+        def center(tt):
+            Rc, tc = analytic_pose(tt)
+            return -Rc.T @ tc
+        a_w = (center(t + h) - 2 * center(t) + center(t - h)) / h ** 2
+        f_b = R_wb.T @ (a_w - GRAVITY_W)
+        acc.append(f_b)
+        gyr.append(w)
+    acc = np.asarray(acc, np.float32)
+    gyr = np.asarray(gyr, np.float32)
+    if rng is not None:
+        acc = acc + rng.normal(0, noise_a, acc.shape).astype(np.float32)
+        gyr = gyr + rng.normal(0, noise_g, gyr.shape).astype(np.float32)
+    return ts, acc, gyr
