@@ -238,6 +238,167 @@ def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
     return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
 
 
+def _assemble_blocks(p: BAProblem, R, t, X, lam):
+    """Shared LM-iteration assembly: damped per-entity Hessian blocks.
+
+    Returns (Hpp (K,6,6) damped, Hll_inv (L,3,3), bp (K,6), bl (L,3),
+    Wpl (O,6,3) masked). Observation-count memory only — no dense B.
+    """
+    K = p.R.shape[0]
+    L = p.X.shape[0]
+    f32 = p.obs_uv.dtype
+    r, Jp, Jl, w, _ = _obs_terms(p, R, t, X, robust=True)
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum('oia,o,oib->oab', Jp, w, Jp, precision='highest'),
+        p.obs_kf, num_segments=K)
+    Hll = jax.ops.segment_sum(
+        jnp.einsum('oia,o,oib->oab', Jl, w, Jl, precision='highest'),
+        p.obs_lm, num_segments=L)
+    bp = -jax.ops.segment_sum(
+        jnp.einsum('oia,o,oi->oa', Jp, w, r, precision='highest'),
+        p.obs_kf, num_segments=K)
+    bl = -jax.ops.segment_sum(
+        jnp.einsum('oia,o,oi->oa', Jl, w, r, precision='highest'),
+        p.obs_lm, num_segments=L)
+    Wpl = jnp.einsum('oia,o,oib->oab', Jp, w, Jl, precision='highest')
+    Wpl = Wpl * p.obs_mask[:, None, None]
+
+    eyeK = jnp.eye(6, dtype=f32)
+    eyeL = jnp.eye(3, dtype=f32)
+    Hpp = Hpp + lam * eyeK * jnp.maximum(
+        jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeK
+    Hll_d = Hll + lam * eyeL * jnp.maximum(
+        jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeL
+    Hll_d = jnp.where(p.lm_opt[:, None, None], Hll_d,
+                      jnp.broadcast_to(eyeL, Hll_d.shape))
+    bl = bl * p.lm_opt.astype(f32)[:, None]
+    return Hpp, _inv3x3(Hll_d), bp, bl, Wpl
+
+
+def ba_solve_pcg(p: BAProblem, n_iters: int = 8, cg_iters: int = 40,
+                 lambda0: float = 1e-4):
+    """Scalable LM with the Schur system solved by preconditioned CG using an
+    IMPLICIT matvec — never materializes the (6K, 3L) off-diagonal block.
+
+    S x = Hpp x - B Hll^-1 B^T x, where B^T x and B y are two gather +
+    segment_sum passes over the observation array (SURVEY.md §7 hard part 3:
+    irregular co-observation structure as segment reductions). The
+    preconditioner is the block-diagonal pose Hessian (6x6 inverses).
+
+    This is the full-map GBA path (reference
+    Optimizer::GlobalBundleAdjustemnt, Optimizer.cc:47, run in the detached
+    thread at LoopClosing.cc:2284): dense-Schur ba_solve is preferred for
+    small windows; this one scales to thousands of keyframes and is the
+    basis of the observation-sharded distributed solve.
+    """
+    K = p.R.shape[0]
+    f32 = p.obs_uv.dtype
+    kf_opt_f = p.kf_opt.astype(f32)
+    lm_opt_f = p.lm_opt.astype(f32)
+
+    def lm_step(R, t, X, lam):
+        Hpp, Hll_inv, bp, bl, Wpl = _assemble_blocks(p, R, t, X, lam)
+
+        def S_matvec(xp):                      # xp (K, 6)
+            xp = xp * kf_opt_f[:, None]
+            Btx = jax.ops.segment_sum(
+                jnp.einsum('oab,oa->ob', Wpl, xp[p.obs_kf],
+                           precision='highest'),
+                p.obs_lm, num_segments=p.X.shape[0])          # (L, 3)
+            y = jnp.einsum('lab,lb->la', Hll_inv, Btx,
+                           precision='highest') * lm_opt_f[:, None]
+            By = jax.ops.segment_sum(
+                jnp.einsum('oab,ob->oa', Wpl, y[p.obs_lm],
+                           precision='highest'),
+                p.obs_kf, num_segments=K)                     # (K, 6)
+            Sx = jnp.einsum('kab,kb->ka', Hpp, xp,
+                            precision='highest') - By
+            return Sx * kf_opt_f[:, None]
+
+        # rhs: bp - B Hll^-1 bl
+        y0 = jnp.einsum('lab,lb->la', Hll_inv, bl, precision='highest')
+        By0 = jax.ops.segment_sum(
+            jnp.einsum('oab,ob->oa', Wpl, y0[p.obs_lm], precision='highest'),
+            p.obs_kf, num_segments=K)
+        rhs = (bp - By0) * kf_opt_f[:, None]
+
+        Minv = _inv6x6(Hpp)                                   # preconditioner
+
+        def precond(v):
+            return jnp.einsum('kab,kb->ka', Minv, v,
+                              precision='highest') * kf_opt_f[:, None]
+
+        def cg_body(carry, _):
+            x, r, z, pdir, rz = carry
+            Ap = S_matvec(pdir)
+            pAp = jnp.sum(pdir * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * pdir
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            pdir = z + beta * pdir
+            return (x, r, z, pdir, rz_new), rz_new
+
+        x0 = jnp.zeros_like(rhs)
+        z0 = precond(rhs)
+        (dxp, _, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, rhs, z0, z0, jnp.sum(rhs * z0)), None,
+            length=cg_iters)
+        dxp = dxp * kf_opt_f[:, None]
+
+        # back-substitute landmarks: dxl = Hll^-1 (bl - B^T dxp)
+        Btdxp = jax.ops.segment_sum(
+            jnp.einsum('oab,oa->ob', Wpl, dxp[p.obs_kf], precision='highest'),
+            p.obs_lm, num_segments=p.X.shape[0])
+        dxl = jnp.einsum('lab,lb->la', Hll_inv, bl - Btdxp,
+                         precision='highest') * lm_opt_f[:, None]
+
+        dR, dt = lie.se3_exp(dxp)
+        R_new, t_new = lie.se3_mul(dR, dt, R, t)
+        return R_new, t_new, X + dxl
+
+    def iteration(carry, _):
+        R, t, X, lam, cost = carry
+        R_new, t_new, X_new = lm_step(R, t, X, lam)
+        new_cost = _cost(p, R_new, t_new, X_new)
+        accept = new_cost < cost
+        R, t, X = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), (R_new, t_new, X_new),
+            (R, t, X))
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-9, 1e4)
+        return (R, t, X, lam, cost), cost
+
+    cost0 = _cost(p, p.R, p.t, p.X)
+    (R, t, X, lam, cost), costs = jax.lax.scan(
+        iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
+        None, length=n_iters)
+    return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
+
+
+def _inv6x6(M):
+    """Batched 6x6 inverse via blockwise 3x3 Schur (closed-form 3x3s only —
+    keeps the preconditioner off the LU/lapack path)."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ai = _inv3x3(A)
+    S = D - C @ Ai @ B
+    Si = _inv3x3(S)
+    AiB = Ai @ B
+    CAi = C @ Ai
+    top_left = Ai + AiB @ Si @ CAi
+    top_right = -AiB @ Si
+    bot_left = -Si @ CAi
+    return jnp.concatenate([
+        jnp.concatenate([top_left, top_right], axis=-1),
+        jnp.concatenate([bot_left, Si], axis=-1)], axis=-2)
+
+
 def classify_outliers(p: BAProblem, R, t, X):
     """Final chi2 classification (reference: erase observations with
     chi2 > 5.991/7.815 after local BA, Optimizer.cc:1350-1400)."""

@@ -49,24 +49,35 @@ def relative_sim3(s_i, R_i, t_i, s_j, R_j, t_j):
     return lie.sim3_mul(s_i, R_i, t_i, sj_inv, Rj_inv, tj_inv)
 
 
-def _edge_residual(xi_i, xi_j, Si, Sj, Sij):
-    """r = log(S_ij * (exp(xi_j) S_jw) * (exp(xi_i) S_iw)^-1), (7,)."""
+def _edge_residual(xi_i, xi_j, Si, Sj, Sij, world_side: bool = False):
+    """r = log(S_ij * S_jw' * S_iw'^-1), (7,).
+
+    world_side=False: left (camera-frame) update S' = exp(xi) S — the
+    standard Sim3 essential graph. world_side=True: right (world-frame)
+    update S' = S exp(xi), which makes tangent dims world-aligned so the
+    4-DoF variant can free exactly [tx, ty, tz, yaw] (reference
+    OptimizeEssentialGraph4DoF's VertexPose4DoF, Optimizer.cc:5163,
+    G2oTypes.h:155 parameterizes the same world-frame yaw+translation)."""
     s_i, R_i, t_i = Si
     s_j, R_j, t_j = Sj
     s_ij, R_ij, t_ij = Sij
     ds_i, dR_i, dt_i = lie.sim3_exp(xi_i)
     ds_j, dR_j, dt_j = lie.sim3_exp(xi_j)
-    a = lie.sim3_mul(ds_j, dR_j, dt_j, s_j, R_j, t_j)       # updated S_jw
-    b = lie.sim3_mul(ds_i, dR_i, dt_i, s_i, R_i, t_i)       # updated S_iw
+    if world_side:
+        a = lie.sim3_mul(s_j, R_j, t_j, ds_j, dR_j, dt_j)   # updated S_jw
+        b = lie.sim3_mul(s_i, R_i, t_i, ds_i, dR_i, dt_i)   # updated S_iw
+    else:
+        a = lie.sim3_mul(ds_j, dR_j, dt_j, s_j, R_j, t_j)
+        b = lie.sim3_mul(ds_i, dR_i, dt_i, s_i, R_i, t_i)
     b_inv = lie.sim3_inv(*b)
     c = lie.sim3_mul(s_ij, R_ij, t_ij, *a)
     d = lie.sim3_mul(*c, *b_inv)
     return lie.sim3_log(*d)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale", "four_dof"))
 def optimize(g: PoseGraph, n_iters: int = 15, fix_scale: bool = False,
-             damping: float = 1e-6):
+             four_dof: bool = False, damping: float = 1e-6):
     """Gauss-Newton essential-graph optimization.
 
     Returns (s, R, t) updated node poses.
@@ -77,12 +88,14 @@ def optimize(g: PoseGraph, n_iters: int = 15, fix_scale: bool = False,
 
     res_and_jac = jax.vmap(
         lambda Si, Sj, Sij: jax.jacfwd(
-            lambda x: _edge_residual(x[:7], x[7:], Si, Sj, Sij))(
+            lambda x: _edge_residual(x[:7], x[7:], Si, Sj, Sij,
+                                     world_side=four_dof))(
                 jnp.zeros(14, f32)),
         in_axes=((0, 0, 0), (0, 0, 0), (0, 0, 0)))
     res_only = jax.vmap(
         lambda Si, Sj, Sij: _edge_residual(
-            jnp.zeros(7, f32), jnp.zeros(7, f32), Si, Sj, Sij),
+            jnp.zeros(7, f32), jnp.zeros(7, f32), Si, Sj, Sij,
+            world_side=four_dof),
         in_axes=((0, 0, 0), (0, 0, 0), (0, 0, 0)))
 
     free = ~g.fixed
@@ -118,15 +131,28 @@ def optimize(g: PoseGraph, n_iters: int = 15, fix_scale: bool = False,
         Hd = Hd * free_rep[:, None] * free_rep[None, :] + \
             jnp.diag(1.0 - free_rep)
         bd = bd * free_rep
-        if fix_scale:
+        if four_dof:
+            # free dims: rho (0..2) + world yaw (phi_z, index 5); frozen:
+            # roll/pitch (3, 4) and scale (6) — reference
+            # OptimizeEssentialGraph4DoF for IMU maps where gravity pins
+            # roll/pitch and visual-inertial scale is observable
+            dmask = jnp.asarray([1, 1, 1, 0, 0, 1, 0], f32)
+        elif fix_scale:
             # zero the scale rows/cols (tangent index 6 of each node)
-            sc = jnp.tile(jnp.asarray([1.0] * 6 + [0.0], f32), K)
+            dmask = jnp.asarray([1.0] * 6 + [0.0], f32)
+        else:
+            dmask = None
+        if dmask is not None:
+            sc = jnp.tile(dmask, K)
             Hd = Hd * sc[:, None] * sc[None, :] + jnp.diag(1.0 - sc)
             bd = bd * sc
         Hd = Hd + damping * jnp.eye(7 * K, dtype=f32)
         dx = jnp.linalg.solve(Hd, bd).reshape(K, 7)
         ds, dR, dt = lie.sim3_exp(dx)
-        s_n, R_n, t_n = lie.sim3_mul(ds, dR, dt, s, R, t)
+        if four_dof:
+            s_n, R_n, t_n = lie.sim3_mul(s, R, t, ds, dR, dt)
+        else:
+            s_n, R_n, t_n = lie.sim3_mul(ds, dR, dt, s, R, t)
         return (s_n, R_n, t_n), jnp.sum(g.edge_w * jnp.sum(r * r, axis=-1))
 
     (s, R, t), costs = jax.lax.scan(step, (g.s, g.R, g.t), None,

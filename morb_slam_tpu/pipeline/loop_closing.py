@@ -65,8 +65,9 @@ def verify_candidate(m: ms.MapState, kf_id, cand, key, cfg):
     return res.s, res.R, res.t, res.n_inliers
 
 
-@jax.jit
-def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel):
+@partial(jax.jit, static_argnames=("four_dof",))
+def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
+                 four_dof: bool = False):
     """Essential-graph correction (reference CorrectLoop +
     OptimizeEssentialGraph): the loop edge pins kf_id against cand; poses
     redistribute accumulated drift; landmarks follow their reference KF's
@@ -113,7 +114,8 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel):
         edge_w=e_w,
         fixed=(~m.kf_valid) | (jnp.arange(K) == cand) |
               (jnp.arange(K) == 0))
-    s_new, R_new, t_new, costs = pose_graph.optimize(g, n_iters=12)
+    s_new, R_new, t_new, costs = pose_graph.optimize(g, n_iters=12,
+                                                     four_dof=four_dof)
 
     # --- landmark correction through reference KFs ----------------------
     ref = jnp.clip(m.lm_ref_kf, 0, K - 1)
@@ -132,6 +134,39 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel):
         kf_t=jnp.where(m.kf_valid[:, None], t_se3, m.kf_t),
         lm_pos=lm_pos)
     return m, costs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def verify_merge(m_new: ms.MapState, kf_id, m_old: ms.MapState, cand, key,
+                 cfg):
+    """Cross-map geometric verification for Atlas merging (reference
+    DetectCommonRegionsFromBoW hitting a non-active map -> MergeLocal entry,
+    LoopClosing.cc:130-180): same Sim3 RANSAC as verify_candidate but the
+    candidate keyframe lives in a stashed map. Returns (s, R, t, n_inliers)
+    with (s,R,t) mapping old-cand-CAMERA points -> new-kf-CAMERA points."""
+    lm1 = m_new.kf_feat_lm[kf_id]
+    lm2 = m_old.kf_feat_lm[cand]
+    ok1 = (lm1 >= 0) & m_new.kf_feat_valid[kf_id] & \
+        m_new.lm_valid[jnp.clip(lm1, 0, None)]
+    ok2 = (lm2 >= 0) & m_old.kf_feat_valid[cand] & \
+        m_old.lm_valid[jnp.clip(lm2, 0, None)]
+    dmat = jnp.where(ok1[:, None] & ok2[None, :],
+                     hamming.hamming_matrix(m_new.kf_feat_desc[kf_id],
+                                            m_old.kf_feat_desc[cand]),
+                     matching.BIG)
+    idx, _ = hamming.match_nn(dmat, ok1, ok2, max_dist=hamming.TH_LOW,
+                              ratio=0.75, cross_check=True)
+    j = jnp.clip(idx, 0, None)
+    pairs_ok = idx >= 0
+    X1w = m_new.lm_pos[jnp.clip(lm1, 0, None)]
+    X2w = m_old.lm_pos[jnp.clip(lm2[j], 0, None)]
+    X1c = lie.se3_apply(m_new.kf_R[kf_id], m_new.kf_t[kf_id], X1w)
+    X2c = lie.se3_apply(m_old.kf_R[cand], m_old.kf_t[cand], X2w)
+    x1 = m_new.kf_feat_xn[kf_id]
+    x2 = m_old.kf_feat_xn[cand][j]
+    res = sim3_solver.solve_sim3(key, X1c, X2c, x1, x2, pairs_ok,
+                                 focal=cfg.focal, fix_scale=False)
+    return res.s, res.R, res.t, res.n_inliers
 
 
 class LoopCloser:
@@ -168,12 +203,91 @@ class LoopCloser:
                 m, jnp.asarray(kf_id), ids[c], k, self.cfg)
             if int(n_inl) < MIN_SIM3_INLIERS:
                 continue
+            # inertial maps: gravity pins roll/pitch and scale is
+            # observable -> 4-DoF essential graph (reference
+            # OptimizeEssentialGraph4DoF, gated at LoopClosing.cc:227-255)
+            four_dof = bool(getattr(self.cfg, "inertial", False))
             tracker.m, costs = correct_loop(
-                m, jnp.asarray(kf_id), ids[c], s, R, t)
+                m, jnp.asarray(kf_id), ids[c], s, R, t, four_dof=four_dof)
+            # full-map refinement, the reference's detached GBA thread
+            # (RunGlobalBundleAdjustment); jit dispatch is async so the
+            # host continues immediately
+            from . import global_ba
+            tracker.m, _ = global_ba.global_bundle_adjustment(
+                tracker.m, self.cfg.lm_cfg if hasattr(self.cfg, "lm_cfg")
+                else self.cfg)
             # refresh tracker pose anchors after the map moved
             tracker.R_last = tracker.m.kf_R[kf_id]
             tracker.t_last = tracker.m.kf_t[kf_id]
             tracker.has_vel = False
             self.last_loop_kf = kf_id
             return True
+        return False
+
+    def maybe_merge(self, tracker, kf_id: int, bow):
+        """Atlas map merging (reference LoopClosing merge path,
+        LoopClosing.cc:130-180 -> MergeLocal :1245): query every stashed
+        map's BoW database with the new keyframe; on a verified Sim3 match,
+        weld the stashed map into the active one, fuse duplicates around the
+        weld and refine with global BA. Returns True if a merge happened."""
+        import jax
+        import numpy as np
+        from ..mapstate import atlas as atlas_mod
+        from ..vocab import database as kfdb
+        from . import global_ba, local_mapping
+
+        if not tracker.stash or kf_id < 5:
+            return False
+        m = tracker.m
+        cfg = self.cfg
+        for st in tracker.stash:
+            if st.merged_into_gen >= 0:
+                continue
+            # capacity gate: the weld is an array concatenation
+            if int(m.n_kf) + st.n_kf > m.kf_valid.shape[0] or \
+                    int(m.n_lm) + int(st.m.n_lm) > m.lm_valid.shape[0]:
+                continue
+            ids, scores, ok = kfdb.top_candidates(st.db, bow, 3,
+                                                  min_score=0.15)
+            for c in range(3):
+                if not bool(ok[c]):
+                    continue
+                tracker.key, k = jax.random.split(tracker.key)
+                s, R, t, n_inl = verify_merge(m, jnp.asarray(kf_id),
+                                              st.m, ids[c], k, cfg)
+                if int(n_inl) < MIN_SIM3_INLIERS:
+                    continue
+                sw, Rw, tw = atlas_mod.sim3_from_cam_pair(
+                    s, R, t, m.kf_R[kf_id], m.kf_t[kf_id],
+                    st.m.kf_R[ids[c]], st.m.kf_t[ids[c]])
+                merged, kf_off, lm_off = atlas_mod.merge_maps(
+                    m, st.m, sw, Rw, tw)
+                kf_off = int(kf_off)
+                st.merged_into_gen = tracker.map_gen
+                st.kf_offset = kf_off
+                # migrate the stashed BoW rows into the active database
+                if tracker.db is not None:
+                    K_cap = tracker.db.bow.shape[0]
+                    n_copy = min(st.n_kf, K_cap - kf_off)
+                    tracker.db = kfdb.KeyframeDatabase(
+                        bow=jax.lax.dynamic_update_slice(
+                            tracker.db.bow, st.db.bow[:n_copy],
+                            (kf_off, 0)),
+                        valid=jax.lax.dynamic_update_slice(
+                            tracker.db.valid, st.db.valid[:n_copy],
+                            (kf_off,)))
+                # fuse duplicated landmarks around the weld, then refine
+                merged = local_mapping.fuse_in_neighbors(
+                    merged, jnp.asarray(kf_id), tracker.cam.params,
+                    tracker.cam.kind, cfg.lm_cfg)
+                merged = ms.update_landmark_stats(merged)
+                merged, _ = global_ba.global_bundle_adjustment(
+                    merged, cfg.lm_cfg)
+                tracker.m = merged
+                tracker.n_kf_host = int(merged.n_kf)
+                tracker.R_last = merged.kf_R[kf_id]
+                tracker.t_last = merged.kf_t[kf_id]
+                tracker.has_vel = False
+                self.last_loop_kf = kf_id
+                return True
         return False

@@ -647,9 +647,15 @@ class Tracker:
         self.key = jax.random.PRNGKey(7)
         self.frames_lost = 0
         self._mapping_enabled = True
-        # trajectory: list of (ts, ref_kf, R_cr, t_cr) relative to ref KF
+        # trajectory: list of (ts, map_gen, ref_kf, R_cr, t_cr) — pose
+        # relative to a reference KF of a specific map generation
+        # (reference mlRelativeFramePoses + mlpReferences, Tracking.h)
         self.trajectory = []
         self.n_frames = 0
+        # multi-map Atlas (reference Atlas): stashed inactive maps +
+        # generation counter of the active map
+        self.stash = []
+        self.map_gen = 0
 
     @property
     def ref_matches(self):
@@ -709,7 +715,8 @@ class Tracker:
         self.frames_since_kf = 0
         self.has_vel = False
         self.state = "OK"
-        self.trajectory.append((ts, int(k0), jnp.eye(3), jnp.zeros(3)))
+        self.trajectory.append((ts, self.map_gen, int(k0), jnp.eye(3),
+                                jnp.zeros(3)))
         return self.state, (self.R_last, self.t_last)
 
     def track_mono_inertial(self, img, ts: float, imu_acc, imu_gyro,
@@ -850,8 +857,9 @@ class Tracker:
             self.t_last = tl * s_f
             self.v_cur = lie.matvec(R_wg.T, self.v_cur)
             self.trajectory = [
-                (t_, r_, R_cr, t_cr * s_f)
-                for (t_, r_, R_cr, t_cr) in self.trajectory]
+                (t_, g_, r_, R_cr, t_cr * s_f) if g_ == self.map_gen
+                else (t_, g_, r_, R_cr, t_cr)
+                for (t_, g_, r_, R_cr, t_cr) in self.trajectory]
             self.has_vel = False
             self.imu_ready = True
         else:
@@ -916,8 +924,10 @@ class Tracker:
         self.frames_since_kf = 0
         self.has_vel = False
         self.state = "OK"
-        self.trajectory.append((self.ts_init, 0, jnp.eye(3), jnp.zeros(3)))
-        self.trajectory.append((ts, int(k1), jnp.eye(3), jnp.zeros(3)))
+        self.trajectory.append((self.ts_init, self.map_gen, 0, jnp.eye(3),
+                                jnp.zeros(3)))
+        self.trajectory.append((ts, self.map_gen, int(k1), jnp.eye(3),
+                                jnp.zeros(3)))
 
     # -- tracking ---------------------------------------------------------
 
@@ -1012,6 +1022,16 @@ class Tracker:
                 return self.state, (self.R_last, self.t_last)
             if self.frames_lost > 60:
                 self.state = "LOST"
+                # reference Tracking::Track LOST handling
+                # (Tracking.cc:1861-1880): a young map is thrown away and
+                # re-initialized; a mature one is kept in the Atlas and a
+                # fresh map starts (CreateMapInAtlas, :2479) — place
+                # recognition can merge them later
+                if self._mapping_enabled:
+                    if self.n_kf_host < 10:
+                        self.reset_active_map()
+                    else:
+                        self.create_map_in_atlas()
             return self.state, None
         self.frames_lost = 0
 
@@ -1026,7 +1046,8 @@ class Tracker:
         self.last_feat_lm = out.feat_lm
         self.ref_kf = int(out.ref_kf)
         self.frames_since_kf += 1
-        self.trajectory.append((ts, self.ref_kf, rel[0], rel[1]))
+        self.trajectory.append((ts, self.map_gen, self.ref_kf, rel[0],
+                                rel[1]))
 
         # keyframe decision (reference NeedNewKeyFrame, simplified to the
         # mono conditions c1a/c2 — mapping here is synchronous so the
@@ -1056,6 +1077,8 @@ class Tracker:
                                             self.cam.kind, self.cfg.lm_cfg)
         if self.loop_closer is not None and bow is not None:
             if self.loop_closer.maybe_close(self, k, bow):
+                self.n_loops_closed += 1
+            elif self.stash and self.loop_closer.maybe_merge(self, k, bow):
                 self.n_loops_closed += 1
         self.ref_kf = k
         self.last_feat_lm = self.m.kf_feat_lm[k]
@@ -1142,6 +1165,76 @@ class Tracker:
         self.frames_lost = 0
         return True
 
+    # -- multi-map Atlas (reference Atlas + Tracking::CreateMapInAtlas) ----
+
+    def _fresh_map_state(self):
+        cfg = self.cfg
+        self.m = ms.empty_map(cfg.max_kf, cfg.n_feat, cfg.max_lm)
+        if self.voc is not None:
+            from ..vocab import database as kfdb
+            self.db = kfdb.empty(cfg.max_kf, self.voc.n_words)
+        if self.calib is not None:
+            from ..optim import inertial as inertial_mod
+            self.kf_imu = inertial_mod.empty_kf_imu(cfg.max_kf)
+            self.imu_ready = False
+            self.viba_stage = 0
+            self.ts_first_kf = None
+            self.v_cur = jnp.zeros(3)
+        self.state = "NOT_INITIALIZED"
+        self.fr_init = None
+        self.last = None
+        self.last_feat_lm = None
+        self.R_last = jnp.eye(3)
+        self.t_last = jnp.zeros(3)
+        self.has_vel = False
+        self.ref_kf = 0
+        self.n_kf_host = 0
+        self.frames_since_kf = 0
+        self.frames_lost = 0
+        self._ref_matches_dev = None
+        self._ref_matches = 0
+
+    def reset_active_map(self):
+        """Throw away the active map and re-initialize (reference
+        Tracking::ResetActiveMap / System::ResetActiveMap): used when
+        tracking is lost in a map too young to be worth keeping."""
+        self.trajectory = [e for e in self.trajectory
+                           if e[1] != self.map_gen]
+        self._fresh_map_state()
+
+    def create_map_in_atlas(self):
+        """Stash the active map and start a fresh one (reference
+        Tracking::CreateMapInAtlas, Tracking.cc:2479). The stashed map's
+        place-recognition database rides along so LoopCloser.maybe_merge
+        can weld it back when the new map revisits known ground."""
+        from ..mapstate import atlas as atlas_mod
+        self.stash.append(atlas_mod.StashedMap(
+            gen=self.map_gen, m=self.m, db=self.db, n_kf=self.n_kf_host,
+            kf_imu=self.kf_imu))
+        self.map_gen += 1
+        self._fresh_map_state()
+
+    def resolve_ref_pose(self, gen, ref):
+        """World->camera pose of keyframe `ref` of map generation `gen`,
+        following merge offsets into the current map. Returns None when the
+        generation no longer exists. An unmerged stashed map resolves in its
+        own (disconnected) world gauge, like the reference's per-map
+        trajectories."""
+        g, r = gen, ref
+        while g != self.map_gen:
+            st = next((s for s in self.stash if s.gen == g), None)
+            if st is None:
+                return None
+            if st.merged_into_gen < 0:
+                if r >= st.m.kf_valid.shape[0] or not bool(st.m.kf_valid[r]):
+                    return None
+                return st.m.kf_R[r], st.m.kf_t[r]
+            r = r + st.kf_offset
+            g = st.merged_into_gen
+        if r >= self.m.kf_valid.shape[0] or not bool(self.m.kf_valid[r]):
+            return None
+        return self.m.kf_R[r], self.m.kf_t[r]
+
     # -- output -----------------------------------------------------------
 
     def trajectory_world(self):
@@ -1149,8 +1242,11 @@ class Tracker:
         through (possibly BA-updated) keyframe poses — the reference's
         SaveTrajectoryTUM scheme (System.cc:531)."""
         out = []
-        for ts, ref, R_cr, t_cr in self.trajectory:
-            Rr, tr = self.m.kf_R[ref], self.m.kf_t[ref]
+        for ts, gen, ref, R_cr, t_cr in self.trajectory:
+            resolved = self.resolve_ref_pose(gen, ref)
+            if resolved is None:
+                continue
+            Rr, tr = resolved
             R_cw, t_cw = lie.se3_mul(R_cr, t_cr, Rr, tr)
             Rwc, twc = lie.se3_inv(R_cw, t_cw)
             out.append((ts, np.asarray(twc)))

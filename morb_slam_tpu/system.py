@@ -136,9 +136,11 @@ class System:
 
     def _frame_poses(self):
         out = []
-        m = self.tracker.m
-        for ts, ref, R_cr, t_cr in self.tracker.trajectory:
-            Rr, tr = m.kf_R[ref], m.kf_t[ref]
+        for ts, gen, ref, R_cr, t_cr in self.tracker.trajectory:
+            resolved = self.tracker.resolve_ref_pose(gen, ref)
+            if resolved is None:
+                continue
+            Rr, tr = resolved
             R_cw, t_cw = lie.se3_mul(R_cr, t_cr, Rr, tr)
             out.append((ts, R_cw, t_cw))
         return out
