@@ -656,6 +656,11 @@ class Tracker:
         # generation counter of the active map
         self.stash = []
         self.map_gen = 0
+        # REGISTER_TIMES-equivalent stage timing (off unless
+        # MORB_REGISTER_TIMES is set; the fused per-frame dispatch bounds
+        # the resolution to TrackTotal / LMTotal / LoopTotal)
+        from ..utils import profiling
+        self.timers = profiling.global_timers()
 
     @property
     def ref_matches(self):
@@ -934,13 +939,15 @@ class Tracker:
     def _track_framedata(self, fr: FrameData, ts: float):
         cfg = self.cfg
         vel_R, vel_t = self.vel
-        out_tuple = track_step_framedata(
-            fr, self.m, self.last, self.last_feat_lm,
-            self.R_last, self.t_last, vel_R, vel_t,
-            jnp.asarray(self.has_vel), jnp.asarray(self.ref_kf, jnp.int32),
-            self.cam.params, self.cam.kind, cfg,
-            jnp.asarray(self._take_vel_trust()))
-        return self._post_track(out_tuple, ts)
+        with self.timers.stage("TrackTotal", result=fr.uv):
+            out_tuple = track_step_framedata(
+                fr, self.m, self.last, self.last_feat_lm,
+                self.R_last, self.t_last, vel_R, vel_t,
+                jnp.asarray(self.has_vel),
+                jnp.asarray(self.ref_kf, jnp.int32),
+                self.cam.params, self.cam.kind, cfg,
+                jnp.asarray(self._take_vel_trust()))
+            return self._post_track(out_tuple, ts)
 
     def _track(self, img, ts: float):
         cfg = self.cfg
@@ -957,21 +964,22 @@ class Tracker:
             return self.state, None
         vel_R, vel_t = self.vel
         trust = jnp.asarray(self._take_vel_trust())
-        if isinstance(img, tuple):
-            fr, out, vel_new, rel = track_step_stereo(
-                img[0], img[1], self.m, self.last, self.last_feat_lm,
-                self.R_last, self.t_last, vel_R, vel_t,
-                jnp.asarray(self.has_vel),
-                jnp.asarray(self.ref_kf, jnp.int32),
-                self.cam.params, self.cam.kind, cfg, trust)
-        else:
-            fr, out, vel_new, rel = track_step(
-                img, self.m, self.last, self.last_feat_lm,
-                self.R_last, self.t_last, vel_R, vel_t,
-                jnp.asarray(self.has_vel),
-                jnp.asarray(self.ref_kf, jnp.int32),
-                self.cam.params, self.cam.kind, cfg, trust)
-        return self._post_track((fr, out, vel_new, rel), ts)
+        with self.timers.stage("TrackTotal"):
+            if isinstance(img, tuple):
+                fr, out, vel_new, rel = track_step_stereo(
+                    img[0], img[1], self.m, self.last, self.last_feat_lm,
+                    self.R_last, self.t_last, vel_R, vel_t,
+                    jnp.asarray(self.has_vel),
+                    jnp.asarray(self.ref_kf, jnp.int32),
+                    self.cam.params, self.cam.kind, cfg, trust)
+            else:
+                fr, out, vel_new, rel = track_step(
+                    img, self.m, self.last, self.last_feat_lm,
+                    self.R_last, self.t_last, vel_R, vel_t,
+                    jnp.asarray(self.has_vel),
+                    jnp.asarray(self.ref_kf, jnp.int32),
+                    self.cam.params, self.cam.kind, cfg, trust)
+            return self._post_track((fr, out, vel_new, rel), ts)
 
     def _take_vel_trust(self):
         t = getattr(self, "_vel_trusted", False)
@@ -1073,13 +1081,18 @@ class Tracker:
             self.m = create_close_landmarks(
                 self.m, jnp.asarray(k, jnp.int32), fr, self.cfg)
         bow = self._db_add(k, fr)
-        self.m = local_mapping.mapping_step(self.m, k, self.cam.params,
-                                            self.cam.kind, self.cfg.lm_cfg)
+        with self.timers.stage("LMTotal"):
+            self.m = local_mapping.mapping_step(
+                self.m, k, self.cam.params, self.cam.kind, self.cfg.lm_cfg)
+            if self.timers.enabled:
+                jax.block_until_ready(self.m.kf_R)
         if self.loop_closer is not None and bow is not None:
-            if self.loop_closer.maybe_close(self, k, bow):
-                self.n_loops_closed += 1
-            elif self.stash and self.loop_closer.maybe_merge(self, k, bow):
-                self.n_loops_closed += 1
+            with self.timers.stage("LoopTotal"):
+                if self.loop_closer.maybe_close(self, k, bow):
+                    self.n_loops_closed += 1
+                elif self.stash and self.loop_closer.maybe_merge(self, k,
+                                                                 bow):
+                    self.n_loops_closed += 1
         self.ref_kf = k
         self.last_feat_lm = self.m.kf_feat_lm[k]
         # lazily-read device scalar; sync deferred to the next KF decision
@@ -1226,12 +1239,14 @@ class Tracker:
             if st is None:
                 return None
             if st.merged_into_gen < 0:
-                if r >= st.m.kf_valid.shape[0] or not bool(st.m.kf_valid[r]):
+                if r >= st.m.kf_valid.shape[0]:
                     return None
+                # culled KFs keep their last optimized pose in the arrays —
+                # still the right anchor for relative frame poses
                 return st.m.kf_R[r], st.m.kf_t[r]
             r = r + st.kf_offset
             g = st.merged_into_gen
-        if r >= self.m.kf_valid.shape[0] or not bool(self.m.kf_valid[r]):
+        if r >= self.m.kf_valid.shape[0]:
             return None
         return self.m.kf_R[r], self.m.kf_t[r]
 

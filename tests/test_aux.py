@@ -1,0 +1,148 @@
+"""Aux-subsystem tests: stage timers, verbose logging, headless viz dumps,
+IMU calibration tool, and the unified dataset-runner CLI end-to-end on a
+synthetic EuRoC-layout mini dataset."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morb_slam_tpu.utils import profiling, verbose
+
+
+def test_stage_timers():
+    t = profiling.StageTimers(enabled=True)
+    with t.stage("TrackTotal"):
+        sum(range(1000))
+    t.add_ms("LMTotal", 3.5)
+    t.add_ms("LMTotal", 4.5)
+    st = t.stats()
+    assert st["LMTotal"][0] == 2
+    assert abs(st["LMTotal"][1] - 4.0) < 1e-9
+    assert "TrackTotal" in t.report()
+
+
+def test_stage_timers_disabled_noop():
+    t = profiling.StageTimers(enabled=False)
+    with t.stage("X"):
+        pass
+    assert not t.samples
+
+
+def test_timers_save(tmp_path):
+    t = profiling.StageTimers(enabled=True)
+    t.add_ms("ORBExtract", 1.0)
+    p = str(tmp_path / "ExecTimeMean.txt")
+    t.save(p)
+    assert "ORBExtract" in open(p).read()
+
+
+def test_verbose_levels(capsys):
+    verbose.set_level(verbose.Level.QUIET)
+    verbose.print_mess("hidden", verbose.Level.NORMAL)
+    verbose.set_level(verbose.Level.NORMAL)
+    verbose.print_mess("shown", verbose.Level.NORMAL)
+    err = capsys.readouterr().err
+    assert "shown" in err and "hidden" not in err
+
+
+def test_viz_dumps(tmp_path):
+    from morb_slam_tpu import viz
+    from morb_slam_tpu.mapstate import state as ms
+    m = ms.empty_map(4, 8, 64)
+    m = m._replace(
+        kf_valid=m.kf_valid.at[:2].set(True),
+        lm_pos=m.lm_pos.at[:10].set(
+            jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (10, 3)),
+                        jnp.float32)),
+        lm_valid=m.lm_valid.at[:10].set(True))
+    ply = str(tmp_path / "map.ply")
+    svg = str(tmp_path / "map.svg")
+    viz.write_ply(ply, m)
+    viz.write_svg(svg, m, trajectory_xyz=np.zeros((5, 3)))
+    txt = open(ply).read()
+    assert "element vertex" in txt and "element edge" in txt
+    assert "<svg" in open(svg).read()
+
+    img = np.zeros((64, 64), np.float32)
+    rgb = viz.frame_overlay(img, np.asarray([[10, 10], [60, 60]]),
+                            np.asarray([True, True]),
+                            np.asarray([True, False]))
+    assert rgb.shape == (64, 64, 3)
+    assert rgb[8, 8, 1] == 255          # green box corner at (10,10)
+
+
+def test_process_imu_noise_estimate(tmp_path):
+    from morb_slam_tpu.tools import process_imu
+    rng = np.random.default_rng(0)
+    fs, dur = 200.0, 120.0
+    n = int(fs * dur)
+    ts = np.arange(n) / fs
+    sigma_g = 1.7e-4 * np.sqrt(fs)   # white noise with density 1.7e-4
+    gyro = rng.normal(0, sigma_g, (n, 3))
+    acc = rng.normal(0, 2e-3 * np.sqrt(fs), (n, 3)) + [0, 0, 9.81]
+    out = process_imu.estimate_noise(ts, gyro, acc)
+    # density recovered within 2x (Allan estimate on finite data)
+    assert 0.5 * 1.7e-4 < out["gyro_noise_density"] < 2 * 1.7e-4, out
+    assert abs(out["frequency_hz"] - fs) < 1.0
+
+
+def _make_euroc_mini(root, world, seq, fps=10.0):
+    """Write a tiny EuRoC-layout dataset from the synthetic world."""
+    import cv2
+    cam0 = os.path.join(root, "mav0", "cam0")
+    os.makedirs(os.path.join(cam0, "data"), exist_ok=True)
+    rows = []
+    for i, (R, t) in enumerate(seq):
+        ts_ns = int(i / fps * 1e9)
+        name = f"{ts_ns}.png"
+        img = world.render(R, t).astype(np.uint8)
+        cv2.imwrite(os.path.join(cam0, "data", name), img)
+        rows.append(f"{ts_ns},{name}")
+    with open(os.path.join(cam0, "data.csv"), "w") as f:
+        f.write("#ts,filename\n" + "\n".join(rows) + "\n")
+
+
+def test_run_dataset_cli_mono(tmp_path):
+    """Full CLI: synthetic EuRoC-layout mono sequence -> trajectory + map
+    dumps + summary JSON."""
+    cv2 = pytest.importorskip("cv2")
+    from synthetic_world import PlaneWorld, camera_path
+    from morb_slam_tpu.examples import run_dataset
+
+    W, H, FX = 384, 288, 300.0
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    seq = camera_path(12, step=0.05)
+    root = str(tmp_path / "seq")
+    _make_euroc_mini(root, world, seq)
+
+    yaml_path = str(tmp_path / "settings.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(f"""%YAML:1.0
+---
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: {FX}
+Camera1.fy: {FX}
+Camera1.cx: {W / 2}
+Camera1.cy: {H / 2}
+Camera.width: {W}
+Camera.height: {H}
+Camera.fps: 10
+ORBextractor.nFeatures: 400
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+""")
+    traj = str(tmp_path / "traj.txt")
+    ply = str(tmp_path / "map.ply")
+    svg = str(tmp_path / "map.svg")
+    rc = run_dataset.main([
+        "--dataset", "euroc", "--sensor", "mono", "--root", root,
+        "--settings", yaml_path, "--traj", traj, "--map-ply", ply,
+        "--map-svg", svg, "--max-kf", "32", "--max-lm", "4000",
+    ])
+    assert rc == 0
+    assert os.path.exists(traj) and len(open(traj).read().strip()) > 0
+    assert os.path.exists(ply) and os.path.exists(svg)
