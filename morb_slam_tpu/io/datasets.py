@@ -17,6 +17,12 @@ import numpy as np
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    # prefer the native C++ decoder (native/loader.cc — no cv2 dependency,
+    # and the same code path the PrefetchLoader worker pool uses)
+    from . import native_loader
+    img = native_loader.decode_gray(path)
+    if img is not None:
+        return img
     import cv2
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
