@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
+from . import linalg as tpu_linalg
 from .robust import huber_weight
 
 HUBER2_MONO = 5.991      # reference thHuberMonocular^2 (Optimizer.cc:1175)
@@ -118,26 +119,7 @@ def _cost(p: BAProblem, R, t, X):
     return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
-def _inv3x3(M):
-    """Closed-form batched 3x3 inverse via adjugate (no LU dispatch)."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = c * h - b * i
-    C = b * f - c * e
-    D = f * g - d * i
-    E = a * i - c * g
-    F = c * d - a * f
-    G = d * h - e * g
-    H = b * g - a * h
-    I = a * e - b * d
-    det = a * A + b * D + c * G
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    adj = jnp.stack([jnp.stack([A, B, C], -1),
-                     jnp.stack([D, E, F], -1),
-                     jnp.stack([G, H, I], -1)], -2)
-    return adj / det[..., None, None]
+_inv3x3 = tpu_linalg.inv3x3
 
 
 def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
@@ -206,7 +188,7 @@ def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
         S = S * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         b_schur = b_schur * free
 
-        dxp = jnp.linalg.solve(S, b_schur)                    # (6K,)
+        dxp = tpu_linalg.solve_spd(S, b_schur)                # (6K,)
         # back-substitute landmarks: dxl = Hll^-1 (bl - B^T dxp)
         Btdxp = jnp.einsum('mlc,m->lc', B, dxp, precision='highest')
         dxl = jnp.einsum('lab,lb->la', Hll_inv, bl - Btdxp,
@@ -379,24 +361,7 @@ def ba_solve_pcg(p: BAProblem, n_iters: int = 8, cg_iters: int = 40,
     return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
 
 
-def _inv6x6(M):
-    """Batched 6x6 inverse via blockwise 3x3 Schur (closed-form 3x3s only —
-    keeps the preconditioner off the LU/lapack path)."""
-    A = M[..., :3, :3]
-    B = M[..., :3, 3:]
-    C = M[..., 3:, :3]
-    D = M[..., 3:, 3:]
-    Ai = _inv3x3(A)
-    S = D - C @ Ai @ B
-    Si = _inv3x3(S)
-    AiB = Ai @ B
-    CAi = C @ Ai
-    top_left = Ai + AiB @ Si @ CAi
-    top_right = -AiB @ Si
-    bot_left = -Si @ CAi
-    return jnp.concatenate([
-        jnp.concatenate([top_left, top_right], axis=-1),
-        jnp.concatenate([bot_left, Si], axis=-1)], axis=-2)
+_inv6x6 = tpu_linalg.inv6x6
 
 
 def classify_outliers(p: BAProblem, R, t, X):

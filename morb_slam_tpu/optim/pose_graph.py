@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
+from . import linalg as tpu_linalg
 
 
 class PoseGraph(NamedTuple):
@@ -147,7 +148,7 @@ def optimize(g: PoseGraph, n_iters: int = 15, fix_scale: bool = False,
             Hd = Hd * sc[:, None] * sc[None, :] + jnp.diag(1.0 - sc)
             bd = bd * sc
         Hd = Hd + damping * jnp.eye(7 * K, dtype=f32)
-        dx = jnp.linalg.solve(Hd, bd).reshape(K, 7)
+        dx = tpu_linalg.solve_spd(Hd, bd).reshape(K, 7)
         ds, dR, dt = lie.sim3_exp(dx)
         if four_dof:
             s_n, R_n, t_n = lie.sim3_mul(s, R, t, ds, dR, dt)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
+from . import linalg as tpu_linalg
 from .robust import huber_weight
 
 CHI2_MONO = 5.991
@@ -120,7 +121,7 @@ def optimize_pose(R0, t0, Xw, obs, info, valid, obs_ur=None, baseline=0.0,
              + jnp.einsum('na,n,n->a', Jr, w * is_stereo, r_ur,
                           precision='highest'))
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        dx = -jnp.linalg.solve(H, g)
+        dx = -tpu_linalg.solve_6x6(H, g)
         dR, dt = lie.se3_exp(dx)
         return lie.se3_mul(dR, dt, R, t), chi2
 

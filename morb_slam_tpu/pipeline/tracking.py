@@ -30,6 +30,17 @@ MAX_LOCAL_LM = 4096
 LOCAL_KFS = 10
 
 
+def _start_fetch(arr):
+    """Kick off the device->host copy of a decision vector as soon as the
+    producing program is dispatched. Each *fresh* fetch over the device link
+    costs a full round trip; issuing it early overlaps that latency with the
+    device compute, so the later np.asarray is (close to) free."""
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
 def tracking_replace_inertial(cfg):
     import dataclasses
     return dataclasses.replace(cfg, inertial=True)
@@ -365,7 +376,16 @@ def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
     Rr, tr_ = m.kf_R[out.ref_kf], m.kf_t[out.ref_kf]
     Rri, tri = lie.se3_inv(Rr, tr_)
     rel = lie.se3_mul(out.R, out.t, Rri, tri)
-    return fr, out, vel_new, rel
+    # every host decision scalar packed into ONE small vector so the frame
+    # needs exactly one device->host fetch (each fresh fetch over the
+    # device link costs a full round trip — SURVEY.md §7 #4 latency
+    # discipline): [n_inl, ref_kf, vel_finite, n_mm]
+    info = jnp.stack([
+        out.n_inl.astype(jnp.float32),
+        out.ref_kf.astype(jnp.float32),
+        jnp.isfinite(vel_new[1]).all().astype(jnp.float32),
+        out.n_mm.astype(jnp.float32)])
+    return fr, out, vel_new, rel, info
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
@@ -947,6 +967,7 @@ class Tracker:
                 jnp.asarray(self.ref_kf, jnp.int32),
                 self.cam.params, self.cam.kind, cfg,
                 jnp.asarray(self._take_vel_trust()))
+            _start_fetch(out_tuple[4])
             return self._post_track(out_tuple, ts)
 
     def _track(self, img, ts: float):
@@ -966,20 +987,21 @@ class Tracker:
         trust = jnp.asarray(self._take_vel_trust())
         with self.timers.stage("TrackTotal"):
             if isinstance(img, tuple):
-                fr, out, vel_new, rel = track_step_stereo(
+                out_tuple = track_step_stereo(
                     img[0], img[1], self.m, self.last, self.last_feat_lm,
                     self.R_last, self.t_last, vel_R, vel_t,
                     jnp.asarray(self.has_vel),
                     jnp.asarray(self.ref_kf, jnp.int32),
                     self.cam.params, self.cam.kind, cfg, trust)
             else:
-                fr, out, vel_new, rel = track_step(
+                out_tuple = track_step(
                     img, self.m, self.last, self.last_feat_lm,
                     self.R_last, self.t_last, vel_R, vel_t,
                     jnp.asarray(self.has_vel),
                     jnp.asarray(self.ref_kf, jnp.int32),
                     self.cam.params, self.cam.kind, cfg, trust)
-            return self._post_track((fr, out, vel_new, rel), ts)
+            _start_fetch(out_tuple[4])
+            return self._post_track(out_tuple, ts)
 
     def _take_vel_trust(self):
         t = getattr(self, "_vel_trusted", False)
@@ -996,20 +1018,28 @@ class Tracker:
 
     def _post_track(self, out_tuple, ts: float):
         cfg = self.cfg
-        fr, out, vel_new, rel = out_tuple
-        n_inl = int(out.n_inl)
+        fr, out, vel_new, rel, info = out_tuple
+        # the frame's ONE device->host sync: all decision scalars together
+        info_h = np.asarray(info)
+        n_inl = int(info_h[0])
+        ref_kf_new = int(info_h[1])
+        vel_finite = bool(info_h[2] > 0.5)
         if bool(self.has_vel) and n_inl < cfg.min_local_points:
             # the motion-model prediction may have poisoned the window
             # search (overshoot confirms itself on repetitive texture) —
             # retry prediction-free (reference falls back to
             # TrackReferenceKeyFrame, Tracking.cc:2727)
-            _, out2, vel2, rel2 = track_step_framedata(
+            out_tuple2 = track_step_framedata(
                 fr, self.m, self.last, self.last_feat_lm,
                 self.R_last, self.t_last, jnp.eye(3), jnp.zeros(3),
                 jnp.asarray(False), jnp.asarray(self.ref_kf, jnp.int32),
                 self.cam.params, self.cam.kind, cfg)
-            if int(out2.n_inl) > n_inl:
-                out, n_inl = out2, int(out2.n_inl)
+            _, out2, vel2, rel2, info2 = out_tuple2
+            info2_h = np.asarray(info2)
+            if int(info2_h[0]) > n_inl:
+                out, n_inl = out2, int(info2_h[0])
+                ref_kf_new = int(info2_h[1])
+                vel_finite = bool(info2_h[2] > 0.5)
                 vel_new, rel = vel2, rel2
         if n_inl < cfg.min_local_points:
             # brute-force match against the reference keyframe
@@ -1019,8 +1049,10 @@ class Tracker:
             if int(n_r) > n_inl:
                 out = out._replace(R=Rr, t=tr_, feat_lm=lm_r, n_inl=n_r)
                 n_inl = int(n_r)
+                ref_kf_new = self.ref_kf
                 self.has_vel = False
                 vel_new, rel = self._recompute_vel_rel(out)
+                vel_finite = bool(jnp.isfinite(vel_new[1]).all())
         self.m = out.m
         if n_inl < cfg.min_track_points:
             self.state = "RECENTLY_LOST"
@@ -1044,7 +1076,7 @@ class Tracker:
         self.frames_lost = 0
 
         self.state = "OK"
-        if bool(jnp.isfinite(vel_new[1]).all()):
+        if vel_finite:
             self.vel = vel_new
             self.has_vel = True
         else:
@@ -1052,7 +1084,7 @@ class Tracker:
         self.R_last, self.t_last = out.R, out.t
         self.last = fr
         self.last_feat_lm = out.feat_lm
-        self.ref_kf = int(out.ref_kf)
+        self.ref_kf = ref_kf_new
         self.frames_since_kf += 1
         self.trajectory.append((ts, self.map_gen, self.ref_kf, rel[0],
                                 rel[1]))
