@@ -75,7 +75,8 @@ class Preintegrated(NamedTuple):
     avg_w: jnp.ndarray
 
 
-def preintegrate(acc, gyro, dts, mask, bias, calib: ImuCalib) -> Preintegrated:
+def preintegrate(acc, gyro, dts, mask, bias, calib: ImuCalib,
+                 init: "Preintegrated" = None) -> Preintegrated:
     """Integrate a masked batch of IMU samples (reference
     Preintegrated::IntegrateNewMeasurement, ImuTypes.cc:184).
 
@@ -85,6 +86,9 @@ def preintegrate(acc, gyro, dts, mask, bias, calib: ImuCalib) -> Preintegrated:
       mask: (N,) bool — False entries are skipped (fixed-capacity padding).
       bias: (6,) [bg, ba] integration bias.
       calib: ImuCalib.
+      init: optional existing Preintegrated to CONTINUE from (must share
+        `bias`) — the incremental per-frame chain the reference keeps in
+        mpImuPreintegratedFromLastKF (Tracking.cc:1528).
     """
     f32 = jnp.float32
     # all small matmuls below must stay exact f32 (see lie.py MXU note)
@@ -139,13 +143,19 @@ def preintegrate(acc, gyro, dts, mask, bias, calib: ImuCalib) -> Preintegrated:
     eye3 = jnp.eye(3, dtype=f32)
     zeros3 = jnp.zeros(3, f32)
     z33 = jnp.zeros((3, 3), f32)
-    # J_Rg starts at zero (reference Initialize(): JRg = 0)
-    init = (jnp.asarray(0.0, f32), eye3, zeros3, zeros3,
-            jnp.zeros((15, 15), f32), z33, z33, z33, z33, z33,
-            zeros3, zeros3, jnp.asarray(0.0, f32))
+    if init is None:
+        # J_Rg starts at zero (reference Initialize(): JRg = 0)
+        carry0 = (jnp.asarray(0.0, f32), eye3, zeros3, zeros3,
+                  jnp.zeros((15, 15), f32), z33, z33, z33, z33, z33,
+                  zeros3, zeros3, jnp.asarray(0.0, f32))
+    else:
+        n0 = jnp.asarray(1.0, f32)  # avg trackers restart (unused downstream)
+        carry0 = (init.dt, init.dR, init.dV, init.dP, init.C,
+                  init.J_Rg, init.J_Vg, init.J_Va, init.J_Pg, init.J_Pa,
+                  init.avg_a, init.avg_w, n0)
     with jax.default_matmul_precision("float32"):
         carry, _ = jax.lax.scan(
-            step, init,
+            step, carry0,
             (acc.astype(f32), gyro.astype(f32), dts.astype(f32), mask))
     (dt_tot, dR, dV, dP, C, JRg, JVg, JVa, JPg, JPa, sum_a, sum_w, n) = carry
     n = jnp.maximum(n, 1.0)

@@ -39,8 +39,11 @@ def _build() -> bool:
 
 def get_lib() -> Optional[ctypes.CDLL]:
     """The loaded native library, building it on demand; None if
-    unavailable (callers then fall back to cv2)."""
+    unavailable (callers then fall back to cv2). Set MORB_NATIVE_LOADER=0
+    to skip the native path entirely (no g++ compile on first imread)."""
     global _lib, _lib_failed
+    if os.environ.get("MORB_NATIVE_LOADER", "1") in ("0", "off"):
+        return None
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib

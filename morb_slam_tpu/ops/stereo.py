@@ -120,6 +120,84 @@ def match_stereo(feats_l, feats_r, img_l, img_r, scale_factors,
     return StereoMatches(u_right=u_right, depth=depth, valid=keep)
 
 
+def match_stereo_general(feats_l, feats_r, bear_l, bear_r, uv_l, uv_r,
+                         proj_l, proj_r, R_rl, t_rl, sigma2,
+                         max_reproj_chi2: float = 5.991,
+                         max_cos_parallax: float = 0.9998):
+    """Non-rectified two-camera matching + triangulation (reference
+    KannalaBrandt8::TriangulateMatches, KannalaBrandt8.cpp:186-323, used for
+    fisheye stereo where rectification would destroy the FOV).
+
+    Args:
+      feats_l/feats_r: frontend.Features (desc/valid/octave used).
+      bear_l/bear_r: (N, 3) unit bearing vectors in each camera frame.
+      uv_l/uv_r: (N, 2) raw pixel keypoints.
+      proj_l/proj_r: camera-frame point -> pixel callables.
+      R_rl, t_rl: T_right<-left (X_r = R_rl X_l + t_rl).
+      sigma2: (N,) per-left-keypoint pixel variance (octave-scaled).
+
+    Returns StereoMatches (u_right = matched raw right x; depth = z in the
+    LEFT camera frame)."""
+    NL = bear_l.shape[0]
+    # epipolar gate in bearing space: |b_r . (E b_l)| with E = [t]x R
+    E = jnp.einsum('ij,jk->ik', _hat(t_rl), R_rl, precision='highest')
+    ep = jnp.einsum('ni,ij,mj->nm', bear_r, E, bear_l,
+                    precision='highest')             # (NR, NL) -> transpose
+    ep = jnp.abs(ep).T                               # (NL, NR)
+    oct_ok = jnp.abs(feats_l.octave[:, None] - feats_r.octave[None, :]) <= 1
+    cand = ((ep < 0.01) & oct_ok & feats_l.valid[:, None]
+            & feats_r.valid[None, :])
+
+    dist = hamming.hamming_matrix(feats_l.desc, feats_r.desc)
+    big = jnp.int32(1 << 20)
+    dist = jnp.where(cand, dist, big)
+    best_idx = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
+    # cross check
+    best_rev = jnp.argmin(dist, axis=0)
+    matched = (best_dist <= TH_ORB) & (best_rev[best_idx] ==
+                                       jnp.arange(NL))
+
+    # ---- midpoint triangulation in the LEFT frame -----------------------
+    d1 = bear_l                                       # (NL, 3)
+    d2 = jnp.einsum('ji,nj->ni', R_rl, bear_r[best_idx])   # R_lr b_r
+    c2 = -jnp.einsum('ji,j->i', R_rl, t_rl)          # right center in left
+    # [d1 -d2] [a b]^T ~= c2  (2x2 normal equations)
+    a11 = jnp.sum(d1 * d1, axis=-1)
+    a12 = -jnp.sum(d1 * d2, axis=-1)
+    a22 = jnp.sum(d2 * d2, axis=-1)
+    b1 = jnp.sum(d1 * c2[None, :], axis=-1)
+    b2 = -jnp.sum(d2 * c2[None, :], axis=-1)
+    det = a11 * a22 - a12 * a12
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    alpha = (b1 * a22 - b2 * a12) / det
+    beta = (a11 * b2 - a12 * b1) / det
+    X = 0.5 * (alpha[:, None] * d1 + c2[None, :] + beta[:, None] * d2)
+
+    cosp = jnp.sum(d1 * d2, axis=-1)                 # unit vectors
+    # reprojection gates in both views (sigma-scaled chi2, reference
+    # KannalaBrandt8.cpp:262-289)
+    uv_l_hat = proj_l(X)
+    X_r = jnp.einsum('ij,nj->ni', R_rl, X) + t_rl[None, :]
+    uv_r_hat = proj_r(X_r)
+    e_l = jnp.sum((uv_l_hat - uv_l) ** 2, axis=-1) / sigma2
+    e_r = jnp.sum((uv_r_hat - uv_r[best_idx]) ** 2, axis=-1) / sigma2
+    good = (matched & (alpha > 0) & (beta > 0) & (X[:, 2] > 0)
+            & (X_r[:, 2] > 0) & (cosp < max_cos_parallax)
+            & (e_l < max_reproj_chi2) & (e_r < max_reproj_chi2))
+    depth = jnp.where(good, X[:, 2], -1.0)
+    u_right = jnp.where(good, uv_r[best_idx, 0], -1.0)
+    return StereoMatches(u_right=u_right, depth=depth, valid=good)
+
+
+def _hat(w):
+    z = jnp.zeros_like(w[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -w[..., 2], w[..., 1]], axis=-1),
+        jnp.stack([w[..., 2], z, -w[..., 0]], axis=-1),
+        jnp.stack([-w[..., 1], w[..., 0], z], axis=-1)], axis=-2)
+
+
 def depth_from_rgbd(feats, depth_map, bf: float):
     """RGB-D path: read depth at keypoint locations, synthesize virtual right
     coords (reference Frame::ComputeStereoFromRGBD)."""

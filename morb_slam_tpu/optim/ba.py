@@ -166,10 +166,12 @@ def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
         bl = bl * lm_opt_f[:, None]
         Hll_inv = _inv3x3(Hll_d)                              # (L, 3, 3)
 
-        # dense B (6K, 3L) via scatter of per-obs blocks
+        # dense B (6K, 3L) via scatter of per-obs blocks; FIXED landmarks
+        # must not couple (their Hll block is identity-replaced — including
+        # them would subtract a bogus B B^T from the Schur system)
         B = jnp.zeros((K, 6, L, 3), f32)
         B = B.at[p.obs_kf, :, p.obs_lm, :].add(
-            Wpl * p.obs_mask[:, None, None])
+            Wpl * (p.obs_mask * lm_opt_f[p.obs_lm])[:, None, None])
         B = B.reshape(K * 6, L, 3)
 
         # S = Hpp_dense - B Hll^-1 B^T   (MXU)

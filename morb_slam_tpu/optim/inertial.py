@@ -37,6 +37,8 @@ class KfImu(NamedTuple):
     J_Rg, J_Vg, J_Va, J_Pg, J_Pa: (K,3,3) bias Jacobians
     info: (K,9,9) information of [r_R, r_v, r_p]
     bias0: (K,6) integration bias
+    rw_info: (K,6) diag information of the bias random walk over this edge
+      (reference EdgeGyroRW/EdgeAccRW info = C.block(9..15).inverse())
     """
     valid: jnp.ndarray
     prev: jnp.ndarray
@@ -51,6 +53,7 @@ class KfImu(NamedTuple):
     J_Pa: jnp.ndarray
     info: jnp.ndarray
     bias0: jnp.ndarray
+    rw_info: jnp.ndarray
 
 
 def empty_kf_imu(max_kf: int) -> KfImu:
@@ -64,13 +67,15 @@ def empty_kf_imu(max_kf: int) -> KfImu:
                  J_Rg=z33, J_Vg=z33, J_Va=z33, J_Pg=z33, J_Pa=z33,
                  info=jnp.broadcast_to(jnp.eye(9, dtype=f32),
                                        (max_kf, 9, 9)).copy(),
-                 bias0=jnp.zeros((max_kf, 6), f32))
+                 bias0=jnp.zeros((max_kf, 6), f32),
+                 rw_info=jnp.ones((max_kf, 6), f32))
 
 
 def set_kf_imu(ki: KfImu, k, pre: imu_mod.Preintegrated, prev) -> KfImu:
     info = jnp.linalg.inv(pre.C[:9, :9]
                           + 1e-9 * jnp.eye(9, dtype=pre.C.dtype))
     info = 0.5 * (info + info.T)
+    rw = 1.0 / jnp.clip(jnp.diagonal(pre.C[9:, 9:]), 1e-12, None)
     return ki._replace(
         valid=ki.valid.at[k].set(pre.dt > 1e-6),
         prev=ki.prev.at[k].set(prev),
@@ -81,7 +86,28 @@ def set_kf_imu(ki: KfImu, k, pre: imu_mod.Preintegrated, prev) -> KfImu:
         J_Va=ki.J_Va.at[k].set(pre.J_Va), J_Pg=ki.J_Pg.at[k].set(pre.J_Pg),
         J_Pa=ki.J_Pa.at[k].set(pre.J_Pa),
         info=ki.info.at[k].set(info),
-        bias0=ki.bias0.at[k].set(pre.bias))
+        bias0=ki.bias0.at[k].set(pre.bias),
+        rw_info=ki.rw_info.at[k].set(rw))
+
+
+def splice_kf_imu(dst: KfImu, src: KfImu, off, n) -> KfImu:
+    """Copy src's first `n` per-KF preintegration entries into dst at
+    offset `off`, remapping prev-KF links by +off (Atlas merge: the stashed
+    map's inertial chain must ride along with its keyframes — reference
+    MergeLocal splices mPrevKF/mpImuPreintegrated chains)."""
+    K = dst.valid.shape[0]
+    idx = jnp.arange(K)
+    take = (idx >= off) & (idx < off + n)
+    s = jnp.clip(idx - off, 0, src.valid.shape[0] - 1)
+    out = {}
+    for name in KfImu._fields:
+        d = getattr(dst, name)
+        a = getattr(src, name)[s]
+        if name == "prev":
+            a = jnp.where(a >= 0, a + off, -1)
+        shp = (K,) + (1,) * (d.ndim - 1)
+        out[name] = jnp.where(take.reshape(shp), a, d)
+    return KfImu(**out)
 
 
 def _corrected_deltas(ki: KfImu, bg, ba):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .. import lie, matching
 from ..mapstate import state as ms
-from ..optim import ba
+from ..optim import ba, vi_ba
 from ..solvers import triangulation
 
 # static capacities
@@ -76,6 +76,10 @@ def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig):
     valid1 = m.kf_feat_valid[kf_id]
     R1, t1 = m.kf_R[kf_id], m.kf_t[kf_id]
 
+    # cap must not exceed the feature capacity (top_k over an F-sized
+    # array): small n_feat configs crashed here before this derivation
+    n_new_cap = min(MAX_NEW_PER_PAIR, F)
+
     def per_neighbor(m, nkf, ok):
         free1 = m.kf_feat_lm[kf_id] < 0
         R2, t2 = m.kf_R[nkf], m.kf_t[nkf]
@@ -98,12 +102,12 @@ def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig):
         Xw = lie.se3_apply(Rwc1, -lie.matvec(Rwc1, t1), X1)
 
         score = jnp.where(good, 1.0 - cosp, -1.0)
-        _, sel = jax.lax.top_k(score, MAX_NEW_PER_PAIR)
+        _, sel = jax.lax.top_k(score, n_new_cap)
         sel_good = good[sel]
         # allocate into FREE slots (culled slots are reused — an append-only
         # high-water allocator exhausts capacity and silently stops mapping)
         free_score = (~m.lm_valid).astype(jnp.int32)
-        n_free_ok, free_slots = jax.lax.top_k(free_score, MAX_NEW_PER_PAIR)
+        n_free_ok, free_slots = jax.lax.top_k(free_score, n_new_cap)
         rank = jnp.cumsum(sel_good.astype(jnp.int32)) - 1
         sel_good = sel_good & (n_free_ok == 1)[jnp.clip(rank, 0, None)]
         slot = jnp.where(sel_good, free_slots[jnp.clip(rank, 0, None)], L)
@@ -283,6 +287,151 @@ def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
     return m
 
 
+def _vi_window_problem(m: ms.MapState, ki, win_idx, win_ok, opt_pose,
+                       opt_vb, cfg: LocalMapConfig, prior_bias_info,
+                       n_local_lm: int):
+    """Gather a VIBAProblem over window keyframes `win_idx` (W,) from the
+    map + preintegration store. opt_pose/opt_vb: (W,) bool."""
+
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    W = win_idx.shape[0]
+    f32 = m.kf_t.dtype
+
+    slot_lm = jnp.where(m.kf_feat_lm >= 0, m.kf_feat_lm, L)
+    win_slots = jnp.where(win_ok[:, None], slot_lm[win_idx], L)     # (W, F)
+    lm_in = jnp.zeros(L + 1, bool).at[win_slots.reshape(-1)].set(True)
+    lm_in = lm_in[:L] & m.lm_valid
+    n_local = min(n_local_lm, L)
+    _, lm_sel = jax.lax.top_k(lm_in.astype(jnp.int32), n_local)
+    lm_sel_ok = lm_in[lm_sel]
+    g2l_lm = jnp.full(L + 1, -1, jnp.int32).at[lm_sel].set(
+        jnp.where(lm_sel_ok, jnp.arange(n_local, dtype=jnp.int32), -1))
+
+    obs_lm_local = g2l_lm[win_slots]
+    obs_ok = (obs_lm_local >= 0) & m.kf_feat_valid[win_idx] & win_ok[:, None]
+    inv_sig2 = cfg.sigma2_inv[jnp.clip(m.kf_feat_octave[win_idx], 0,
+                                       cfg.n_levels - 1)]
+    info = (cfg.focal ** 2) * inv_sig2
+
+    # body states (body == camera)
+    R_wb = jnp.swapaxes(m.kf_R[win_idx], -1, -2)
+    p_wb = -lie.matvec(R_wb, m.kf_t[win_idx])
+
+    # inertial edges: edge at window slot w connects g2l[prev[kf_w]] -> w
+    g2l_kf = jnp.full(K + 1, -1, jnp.int32).at[
+        jnp.where(win_ok, win_idx, K)].set(
+        jnp.where(win_ok, jnp.arange(W, dtype=jnp.int32), -1), mode="drop")
+    kf_g = win_idx
+    prev_g = jnp.clip(ki.prev[kf_g], 0, K - 1)
+    e_prev_l = g2l_kf[jnp.where(ki.prev[kf_g] >= 0, prev_g, K)]
+    e_valid = (ki.valid[kf_g] & win_ok & (e_prev_l >= 0))
+    e_prev_l = jnp.where(e_valid, e_prev_l, 0)
+
+    return vi_ba.VIBAProblem(
+        R_wb=R_wb, p_wb=p_wb, v=m.kf_v[win_idx], bias=m.kf_bias[win_idx],
+        fix_pose=~opt_pose, fix_vb=~opt_vb,
+        X=m.lm_pos[lm_sel], lm_opt=lm_sel_ok,
+        obs_kf=jnp.broadcast_to(
+            jnp.arange(W, dtype=jnp.int32)[:, None], (W, F)).reshape(-1),
+        obs_lm=jnp.clip(obs_lm_local, 0, None).reshape(-1),
+        obs_uv=m.kf_feat_xn[win_idx].reshape(W * F, 2),
+        obs_ur=m.kf_feat_ur[win_idx].reshape(-1),
+        obs_info=info.reshape(-1),
+        obs_mask=obs_ok.reshape(-1),
+        baseline=jnp.asarray(cfg.baseline, f32),
+        e_valid=e_valid, e_prev=e_prev_l,
+        e_dt=ki.dt[kf_g], e_dR=ki.dR[kf_g], e_dV=ki.dV[kf_g],
+        e_dP=ki.dP[kf_g],
+        e_JRg=ki.J_Rg[kf_g], e_JVg=ki.J_Vg[kf_g], e_JVa=ki.J_Va[kf_g],
+        e_JPg=ki.J_Pg[kf_g], e_JPa=ki.J_Pa[kf_g],
+        e_info=vi_ba.floor_info(ki.info[kf_g]), e_bias0=ki.bias0[kf_g],
+        e_rw_info=ki.rw_info[kf_g],
+        prior_bias_info=jnp.broadcast_to(prior_bias_info, (W, 6)),
+    ), lm_sel, lm_sel_ok, obs_ok
+
+
+def _vi_write_back(m: ms.MapState, prob, win_idx, win_ok, opt_pose, opt_vb,
+                   R_wb, p_wb, v, bias, X, lm_sel, lm_sel_ok, obs_ok):
+
+    W, F = obs_ok.shape
+    R_cw = jnp.swapaxes(R_wb, -1, -2)
+    t_cw = -lie.matvec(R_cw, p_wb)
+    wp = (opt_pose & win_ok)
+    wv = (opt_vb & win_ok)
+    m = m._replace(
+        kf_R=m.kf_R.at[win_idx].set(
+            jnp.where(wp[:, None, None], R_cw, m.kf_R[win_idx])),
+        kf_t=m.kf_t.at[win_idx].set(
+            jnp.where(wp[:, None], t_cw, m.kf_t[win_idx])),
+        kf_v=m.kf_v.at[win_idx].set(
+            jnp.where(wv[:, None], v, m.kf_v[win_idx])),
+        kf_bias=m.kf_bias.at[win_idx].set(
+            jnp.where(wv[:, None], bias, m.kf_bias[win_idx])),
+        lm_pos=m.lm_pos.at[lm_sel].set(
+            jnp.where(lm_sel_ok[:, None], X, m.lm_pos[lm_sel])),
+    )
+    keep = vi_ba.classify_outliers(prob, R_wb, p_wb, X).reshape(W, F)
+    drop = (~keep) & obs_ok
+    new_feat_lm = jnp.where(drop, -1, m.kf_feat_lm[win_idx])
+    return m._replace(
+        kf_feat_lm=m.kf_feat_lm.at[win_idx].set(
+            jnp.where(win_ok[:, None], new_feat_lm,
+                      m.kf_feat_lm[win_idx])))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def local_inertial_ba(m: ms.MapState, ki, kf_id, cfg: LocalMapConfig):
+    """Visual-inertial local BA over the TEMPORAL keyframe window (reference
+    Optimizer::LocalInertialBA, Optimizer.cc:2324): the last N_OPT keyframes
+    optimize pose+velocity+bias, connected by preintegration and bias-RW
+    edges; a frontier of older keyframes is held fixed to anchor the gauge;
+    window landmarks refine; outliers detach."""
+
+    K = m.kf_valid.shape[0]
+    N_OPT = 10       # reference: 10 opt KFs (25 when bLarge)
+    N_FIX = 4
+    W = min(N_OPT + N_FIX, K)
+    # temporal window ending at kf_id (kf indices are temporal)
+    win_idx = jnp.clip(kf_id - (W - 1) + jnp.arange(W), 0, K - 1)
+    win_ok = m.kf_valid[win_idx] & (win_idx <= kf_id) & \
+        (jnp.arange(W) >= (W - 1) - kf_id)
+    is_opt = (jnp.arange(W) >= W - min(N_OPT, W)) & (win_idx != 0) & win_ok
+    prob, lm_sel, lm_sel_ok, obs_ok = _vi_window_problem(
+        m, ki, win_idx, win_ok, is_opt, is_opt, cfg,
+        jnp.zeros(6, m.kf_t.dtype), MAX_LOCAL_LM)
+    R_wb, p_wb, v, bias, X, _ = vi_ba.vi_ba_solve(prob, n_iters=6)
+    return _vi_write_back(m, prob, win_idx, win_ok, is_opt, is_opt,
+                          R_wb, p_wb, v, bias, X, lm_sel, lm_sel_ok, obs_ok)
+
+
+@partial(jax.jit, static_argnames=("cfg", "window", "fix_landmarks"))
+def full_inertial_ba(m: ms.MapState, ki, last_kf, cfg: LocalMapConfig,
+                     window: int = 32, prior_gyro=1.0, prior_acc=1e4,
+                     fix_landmarks: bool = False):
+    """Full visual-inertial BA over (up to `window`) keyframes — the
+    reference's FullInertialBA used by the staged IMU initialization
+    (Optimizer.cc:364, called from LocalMapping::InitializeIMU/VIBA1/VIBA2,
+    LocalMapping.cc:212-272). Bias priors pull toward zero with the stage's
+    priorG/priorA weights. KF0 pose stays fixed (gauge)."""
+    K = m.kf_valid.shape[0]
+
+    W = min(window, K)
+    win_idx = jnp.clip(last_kf - (W - 1) + jnp.arange(W), 0, K - 1)
+    win_ok = m.kf_valid[win_idx] & (jnp.arange(W) >= (W - 1) - last_kf)
+    is_opt = win_ok & (win_idx != 0)
+    prior = jnp.concatenate([jnp.full(3, prior_gyro, m.kf_t.dtype),
+                             jnp.full(3, prior_acc, m.kf_t.dtype)])
+    prob, lm_sel, lm_sel_ok, obs_ok = _vi_window_problem(
+        m, ki, win_idx, win_ok, is_opt, win_ok, cfg, prior, MAX_LOCAL_LM)
+    if fix_landmarks:
+        prob = prob._replace(lm_opt=jnp.zeros_like(prob.lm_opt))
+    R_wb, p_wb, v, bias, X, info = vi_ba.vi_ba_solve(prob, n_iters=10)
+    m = _vi_write_back(m, prob, win_idx, win_ok, is_opt, win_ok,
+                       R_wb, p_wb, v, bias, X, lm_sel, lm_sel_ok, obs_ok)
+    return m, info["costs"]
+
+
 @jax.jit
 def cull_keyframes(m: ms.MapState, kf_id):
     """Redundant-keyframe culling (reference LocalMapping::KeyFrameCulling,
@@ -325,5 +474,20 @@ def mapping_step(m: ms.MapState, kf_id, cam_params, cam_kind,
     m = local_bundle_adjustment(m, kf_id, cfg)
     if not cfg.inertial:
         m = cull_keyframes(m, kf_id)
+    m = ms.update_landmark_stats(m)
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def mapping_step_inertial(m: ms.MapState, ki, kf_id, cam_params, cam_kind,
+                          cfg: LocalMapConfig):
+    """Per-keyframe mapping with LocalInertialBA in place of the visual
+    local BA (reference LocalMapping::Run switching to LocalInertialBA once
+    the map is IMU-initialized, LocalMapping.cc:147-187)."""
+    m = create_new_landmarks(m, kf_id, cfg)
+    m = ms.update_landmark_stats(m)
+    m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
+    m = cull_landmarks(m, kf_id)
+    m = local_inertial_ba(m, ki, kf_id, cfg)
     m = ms.update_landmark_stats(m)
     return m

@@ -30,8 +30,9 @@ COVIS_EDGE_MIN = 30        # covisibility weight for pose-graph edges
 COVIS_EDGES_PER_KF = 5
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def verify_candidate(m: ms.MapState, kf_id, cand, key, cfg):
+@partial(jax.jit, static_argnames=("cfg", "fix_scale"))
+def verify_candidate(m: ms.MapState, kf_id, cand, key, cfg,
+                     fix_scale: bool = False):
     """Geometric loop verification (reference DetectCommonRegionsFromBoW ->
     Sim3Solver -> SearchBySim3): match landmark descriptors of the two KFs,
     RANSAC a Sim3 on the 3D-3D pairs in the two camera frames, refit on
@@ -61,8 +62,158 @@ def verify_candidate(m: ms.MapState, kf_id, cand, key, cfg):
     x1 = m.kf_feat_xn[kf_id]
     x2 = m.kf_feat_xn[cand][j]
     res = sim3_solver.solve_sim3(key, X1c, X2c, x1, x2, pairs_ok,
-                                 focal=cfg.focal, fix_scale=False)
+                                 focal=cfg.focal, fix_scale=fix_scale)
     return res.s, res.R, res.t, res.n_inliers
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def guided_sim3_verify(m: ms.MapState, kf_id, cand, s0, R0, t0, key, cfg):
+    """Guided projection matching + Sim3 GN refinement (reference
+    ORBmatcher::SearchBySim3, ORBmatcher.cc:1323, + Optimizer::OptimizeSim3,
+    Optimizer.cc:2065): project the candidate KF's landmarks through the
+    RANSAC Sim3 into the current KF's image, window-match descriptors, then
+    refine (s, R, t) on the matched pairs with bidirectional reprojection
+    residuals. Returns (s, R, t, n_matches_post_opt)."""
+    F = m.kf_feat_lm.shape[1]
+    inv_sig2 = cfg.lm_cfg.sigma2_inv
+    CHI2_SIM3 = 9.21          # reference deltaHuber^2 ~ 10
+
+    lm2 = m.kf_feat_lm[cand]
+    ok2 = (lm2 >= 0) & m.kf_feat_valid[cand] & \
+        m.lm_valid[jnp.clip(lm2, 0, None)]
+    X2w = m.lm_pos[jnp.clip(lm2, 0, None)]
+    X2c = lie.se3_apply(m.kf_R[cand], m.kf_t[cand], X2w)     # cand cam
+    ok2 &= X2c[:, 2] > 0.05
+
+    lm1 = m.kf_feat_lm[kf_id]
+    ok1 = (lm1 >= 0) & m.kf_feat_valid[kf_id] & \
+        m.lm_valid[jnp.clip(lm1, 0, None)]
+    X1w = m.lm_pos[jnp.clip(lm1, 0, None)]
+    X1c = lie.se3_apply(m.kf_R[kf_id], m.kf_t[kf_id], X1w)   # kf cam
+    ok1 &= X1c[:, 2] > 0.05
+
+    xn1 = m.kf_feat_xn[kf_id]
+    xn2 = m.kf_feat_xn[cand]
+    oct1 = m.kf_feat_octave[kf_id]
+
+    def window_match(s, R, t):
+        """Window-gated Hamming matching of cand landmarks -> kf features."""
+        X1p = lie.sim3_apply(s, R, t, X2c)                   # into kf cam
+        z = X1p[:, 2]
+        pred = X1p[:, :2] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)[:, None]
+        # window radius: 7.5 px scaled by candidate octave (reference th)
+        sf = cfg.scale ** m.kf_feat_octave[cand].astype(jnp.float32)
+        rad = 7.5 / cfg.focal * sf
+        d2 = jnp.sum((pred[:, None, :] - xn1[None, :, :]) ** 2, axis=-1)
+        inside = d2 < (rad ** 2)[:, None]
+        cand_ok = ok2[:, None] & m.kf_feat_valid[kf_id][None, :] & \
+            inside & (z > 0.05)[:, None]
+        dmat = jnp.where(cand_ok,
+                         hamming.hamming_matrix(m.kf_feat_desc[cand],
+                                                m.kf_feat_desc[kf_id]),
+                         matching.BIG)
+        idx, _ = hamming.match_nn(dmat, ok2, m.kf_feat_valid[kf_id],
+                                  max_dist=hamming.TH_HIGH, ratio=1.0,
+                                  cross_check=True)
+        return idx                                            # (F,) 2 -> 1
+
+    idx = window_match(s0, R0, t0)
+    j1 = jnp.clip(idx, 0, None)
+    pair_ok = (idx >= 0) & ok2
+
+    # ---- Sim3 GN refinement on matched pairs (bidirectional) ------------
+    info1 = (cfg.focal ** 2) * inv_sig2[jnp.clip(oct1[j1], 0,
+                                                 cfg.n_levels - 1)]
+    # inverse direction: kf's own landmark at the matched slot into cand
+    has_inv = pair_ok & ok1[j1]
+    X1c_own = X1c[j1]
+
+    def residuals(x):
+        ds, phi, dt_ = x[0], x[1:4], x[4:7]
+        s = s0 * jnp.exp(ds)
+        R = lie.matmat(R0, lie.so3_exp(phi))
+        t = t0 + dt_
+        Xf = lie.sim3_apply(s, R, t, X2c)
+        zf = jnp.where(jnp.abs(Xf[:, 2]) < 1e-6, 1e-6, Xf[:, 2])
+        r_f = (Xf[:, :2] / zf[:, None] - xn1[j1]) * pair_ok[:, None]
+        si, Ri, ti = lie.sim3_inv(s, R, t)
+        Xb = lie.sim3_apply(si, Ri, ti, X1c_own)
+        zb = jnp.where(jnp.abs(Xb[:, 2]) < 1e-6, 1e-6, Xb[:, 2])
+        r_b = (Xb[:, :2] / zb[:, None] - xn2) * has_inv[:, None]
+        return r_f, r_b
+
+    def gn_step(x, active_f, active_b):
+        r_f, r_b = residuals(x)
+        J = jax.jacfwd(lambda xx: residuals(xx))(x)
+        Jf, Jb = J                                            # (F,2,7)
+        wf = info1 * active_f
+        wb = info1 * active_b
+        H = (jnp.einsum('nia,n,nib->ab', Jf, wf, Jf, precision='highest')
+             + jnp.einsum('nia,n,nib->ab', Jb, wb, Jb, precision='highest'))
+        g = (jnp.einsum('nia,n,ni->a', Jf, wf, r_f, precision='highest')
+             + jnp.einsum('nia,n,ni->a', Jb, wb, r_b, precision='highest'))
+        H = H + 1e-4 * jnp.eye(7, dtype=H.dtype)
+        dx = -jnp.linalg.solve(H, g)
+        return x + dx, r_f, r_b
+
+    def chi2_of(r_f, r_b):
+        c_f = jnp.sum(r_f * r_f, axis=-1) * info1
+        c_b = jnp.sum(r_b * r_b, axis=-1) * info1
+        return c_f, c_b
+
+    x = jnp.zeros(7, jnp.float32)
+    active_f = pair_ok.astype(jnp.float32)
+    active_b = has_inv.astype(jnp.float32)
+    for _ in range(2):                    # 2 rounds of opt + reclassify
+        def it(i, xx):
+            xn, _, _ = gn_step(xx, active_f, active_b)
+            return xn
+        x = jax.lax.fori_loop(0, 5, it, x)
+        _, r_f, r_b = gn_step(x, active_f, active_b)
+        c_f, c_b = chi2_of(r_f, r_b)
+        active_f = (pair_ok & (c_f < CHI2_SIM3)).astype(jnp.float32)
+        active_b = (has_inv & (c_b < CHI2_SIM3)).astype(jnp.float32)
+
+    s = s0 * jnp.exp(x[0])
+    R = lie.matmat(R0, lie.so3_exp(x[1:4]))
+    t = t0 + x[4:7]
+    n_good = jnp.sum(active_f > 0)
+    return s, R, t, n_good
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def search_and_fuse(m: ms.MapState, kf_id, cand, cam_params, cam_kind, cfg):
+    """Post-correction landmark welding (reference LoopClosing::SearchAndFuse,
+    LoopClosing.cc:2152): after the essential-graph correction the loop
+    region and the current region coincide — project the candidate side's
+    landmarks into the current KF and bind them to free feature slots so the
+    two sides share observations (the covisibility weld)."""
+    from . import local_mapping as lm_mod
+    from .. import cameras
+    cam = cameras.Camera(cam_kind, cam_params)
+    L = m.lm_valid.shape[0]
+    lm2 = m.kf_feat_lm[cand]
+    ok2 = (lm2 >= 0) & m.kf_feat_valid[cand] & \
+        m.lm_valid[jnp.clip(lm2, 0, None)]
+    ids = jnp.clip(lm2, 0, None)
+    dst_lm = m.kf_feat_lm[kf_id]
+    seen = jnp.zeros(L + 1, bool).at[
+        jnp.where(dst_lm >= 0, dst_lm, L)].set(True)
+    ok2 &= ~seen[ids]
+    res = matching.search_by_projection(
+        m.lm_pos[ids], m.lm_normal[ids], m.lm_dist_max[ids],
+        m.lm_desc[ids], ok2,
+        m.kf_R[kf_id], m.kf_t[kf_id],
+        lambda Xc: cameras.project(cam, Xc),
+        m.kf_feat_uv[kf_id], m.kf_feat_octave[kf_id],
+        m.kf_feat_desc[kf_id],
+        m.kf_feat_valid[kf_id] & (dst_lm < 0),
+        (10000, 10000), radius_px=4.0, scale=cfg.scale,
+        n_levels=cfg.n_levels, max_dist_th=50, ratio=1.0)
+    new_lm = jnp.where(res.feat_lm >= 0,
+                       ids[jnp.clip(res.feat_lm, 0, None)], dst_lm)
+    m = m._replace(kf_feat_lm=m.kf_feat_lm.at[kf_id].set(new_lm))
+    return ms.update_landmark_stats(m)
 
 
 @partial(jax.jit, static_argnames=("four_dof",))
@@ -136,9 +287,9 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
     return m, costs
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "fix_scale"))
 def verify_merge(m_new: ms.MapState, kf_id, m_old: ms.MapState, cand, key,
-                 cfg):
+                 cfg, fix_scale: bool = False):
     """Cross-map geometric verification for Atlas merging (reference
     DetectCommonRegionsFromBoW hitting a non-active map -> MergeLocal entry,
     LoopClosing.cc:130-180): same Sim3 RANSAC as verify_candidate but the
@@ -165,17 +316,26 @@ def verify_merge(m_new: ms.MapState, kf_id, m_old: ms.MapState, cand, key,
     x1 = m_new.kf_feat_xn[kf_id]
     x2 = m_old.kf_feat_xn[cand][j]
     res = sim3_solver.solve_sim3(key, X1c, X2c, x1, x2, pairs_ok,
-                                 focal=cfg.focal, fix_scale=False)
+                                 focal=cfg.focal, fix_scale=fix_scale)
     return res.s, res.R, res.t, res.n_inliers
 
 
 class LoopCloser:
     """Host-side loop-closing orchestration (reference LoopClosing::Run)."""
 
-    def __init__(self, cfg, min_interval: int = 10):
+    def __init__(self, cfg, min_interval: int = 10,
+                 temporal_hits: int = 2):
         self.cfg = cfg
         self.last_loop_kf = -10 ** 9
         self.min_interval = min_interval
+        # temporal-consistency state (reference mnLoopNumCoincidences /
+        # DetectAndReffineSim3FromLastKF, LoopClosing.cc:539): a loop fires
+        # only after `temporal_hits` CONSECUTIVE keyframes verify candidates
+        # in the same covisible region
+        self.temporal_hits = temporal_hits
+        self._pending_cand = -1
+        self._pending_kf = -1
+        self._pending_count = 0
 
     def maybe_close(self, tracker, kf_id: int, bow):
         """Called after each keyframe insertion; returns True if a loop was
@@ -195,34 +355,85 @@ class LoopCloser:
         ids, scores, ok = kfdb.top_candidates(tracker.db, bow, 3,
                                               exclude=exclude,
                                               min_score=0.15)
+        # stereo/RGB-D maps and IMU-initialized maps are metric: the loop
+        # Sim3 must not inject scale (reference bFixScale gating,
+        # LoopClosing.cc / Sim3Solver fixed-scale mode)
+        fix_scale = bool(self.cfg.baseline > 0) or \
+            bool(getattr(tracker, "imu_ready", False))
+        import numpy as np
+        hit = None
         for c in range(3):
             if not bool(ok[c]):
                 continue
             tracker.key, k = jax.random.split(tracker.key)
             s, R, t, n_inl = verify_candidate(
-                m, jnp.asarray(kf_id), ids[c], k, self.cfg)
+                m, jnp.asarray(kf_id), ids[c], k, self.cfg,
+                fix_scale=fix_scale)
             if int(n_inl) < MIN_SIM3_INLIERS:
                 continue
-            # inertial maps: gravity pins roll/pitch and scale is
-            # observable -> 4-DoF essential graph (reference
-            # OptimizeEssentialGraph4DoF, gated at LoopClosing.cc:227-255)
-            four_dof = bool(getattr(self.cfg, "inertial", False))
-            tracker.m, costs = correct_loop(
-                m, jnp.asarray(kf_id), ids[c], s, R, t, four_dof=four_dof)
-            # full-map refinement, the reference's detached GBA thread
-            # (RunGlobalBundleAdjustment); jit dispatch is async so the
-            # host continues immediately
-            from . import global_ba
-            tracker.m, _ = global_ba.global_bundle_adjustment(
-                tracker.m, self.cfg.lm_cfg if hasattr(self.cfg, "lm_cfg")
-                else self.cfg)
-            # refresh tracker pose anchors after the map moved
-            tracker.R_last = tracker.m.kf_R[kf_id]
-            tracker.t_last = tracker.m.kf_t[kf_id]
-            tracker.has_vel = False
-            self.last_loop_kf = kf_id
-            return True
-        return False
+            # guided projection matching + Sim3 GN refinement (reference
+            # SearchBySim3 -> OptimizeSim3 -> require nInliers >= 20/35)
+            s, R, t, n_good = guided_sim3_verify(
+                m, jnp.asarray(kf_id), ids[c], s, R, t, k, self.cfg)
+            if int(n_good) < MIN_ACCEPT_MATCHES:
+                continue
+            hit = (int(ids[c]), s, R, t, int(n_good))
+            break
+        if hit is None:
+            # a broken consecutive-detection streak resets the counter
+            if kf_id - self._pending_kf > 2:
+                self._pending_count = 0
+                self._pending_cand = -1
+            return False
+        cand, s, R, t, n_good = hit
+        # temporal consistency: this detection must agree (covisible
+        # candidate region) with the previous keyframe's detection
+        consistent = (self._pending_cand >= 0
+                      and kf_id - self._pending_kf <= 2
+                      and (cand == self._pending_cand or int(
+                          ms.covisibility_row(m, jnp.asarray(cand))
+                          [self._pending_cand]) > 0))
+        self._pending_cand = cand
+        self._pending_kf = kf_id
+        self._pending_count = self._pending_count + 1 if consistent else 1
+        if self._pending_count < self.temporal_hits:
+            return False
+        # inertial sanity gating (reference LoopClosing.cc:227-255): once
+        # gravity-aligned, loop drift must be mostly yaw — large pitch/roll
+        # corrections are geometrically impossible and mark a false loop
+        if bool(getattr(tracker, "imu_ready", False)):
+            # drift rotation = measured loop relative vs current estimate
+            sij, Rij, tij = pose_graph.relative_sim3(
+                jnp.asarray(1.0), m.kf_R[kf_id], m.kf_t[kf_id],
+                jnp.asarray(1.0), m.kf_R[cand], m.kf_t[cand])
+            R_drift = lie.matmat(R, jnp.swapaxes(Rij, -1, -2))
+            r = np.asarray(lie.so3_log(R_drift))
+            if abs(r[0]) > 0.05 or abs(r[1]) > 0.05:
+                return False
+        four_dof = bool(getattr(self.cfg, "inertial", False)) and \
+            bool(getattr(tracker, "imu_ready", False))
+        tracker.m, costs = correct_loop(
+            m, jnp.asarray(kf_id), jnp.asarray(cand), s, R, t,
+            four_dof=four_dof)
+        # weld the two sides' landmarks (reference SearchAndFuse)
+        tracker.m = search_and_fuse(
+            tracker.m, jnp.asarray(kf_id), jnp.asarray(cand),
+            tracker.cam.params, tracker.cam.kind, self.cfg)
+        # full-map refinement, the reference's detached GBA thread
+        # (RunGlobalBundleAdjustment); jit dispatch is async so the
+        # host continues immediately
+        from . import global_ba
+        tracker.m, _ = global_ba.global_bundle_adjustment(
+            tracker.m, self.cfg.lm_cfg if hasattr(self.cfg, "lm_cfg")
+            else self.cfg)
+        # refresh tracker pose anchors after the map moved
+        tracker.R_last = tracker.m.kf_R[kf_id]
+        tracker.t_last = tracker.m.kf_t[kf_id]
+        tracker.has_vel = False
+        self.last_loop_kf = kf_id
+        self._pending_count = 0
+        self._pending_cand = -1
+        return True
 
     def maybe_merge(self, tracker, kf_id: int, bow):
         """Atlas map merging (reference LoopClosing merge path,
@@ -249,12 +460,18 @@ class LoopCloser:
                 continue
             ids, scores, ok = kfdb.top_candidates(st.db, bow, 3,
                                                   min_score=0.15)
+            # metric maps (stereo/RGB-D or IMU-initialized): the weld must
+            # not rescale (reference bFixScale; merge scale gate 0.9-1.1
+            # LoopClosing.cc:130)
+            fix_scale = bool(cfg.baseline > 0) or \
+                bool(getattr(tracker, "imu_ready", False))
             for c in range(3):
                 if not bool(ok[c]):
                     continue
                 tracker.key, k = jax.random.split(tracker.key)
                 s, R, t, n_inl = verify_merge(m, jnp.asarray(kf_id),
-                                              st.m, ids[c], k, cfg)
+                                              st.m, ids[c], k, cfg,
+                                              fix_scale=fix_scale)
                 if int(n_inl) < MIN_SIM3_INLIERS:
                     continue
                 sw, Rw, tw = atlas_mod.sim3_from_cam_pair(
@@ -265,6 +482,15 @@ class LoopCloser:
                 kf_off = int(kf_off)
                 st.merged_into_gen = tracker.map_gen
                 st.kf_offset = kf_off
+                # splice the stashed map's inertial preintegration chain
+                # into the active store, and make the NEXT keyframe chain
+                # temporally to kf_id (not to the last welded old-map slot)
+                # — reference MergeLocal splices mPrevKF chains
+                if tracker.kf_imu is not None and st.kf_imu is not None:
+                    from ..optim import inertial as inertial_mod
+                    tracker.kf_imu = inertial_mod.splice_kf_imu(
+                        tracker.kf_imu, st.kf_imu, kf_off, st.n_kf)
+                tracker._kf_prev_override = kf_id
                 # migrate the stashed BoW rows into the active database
                 if tracker.db is not None:
                     K_cap = tracker.db.bow.shape[0]

@@ -267,6 +267,39 @@ def extract_rgbd_frame(img, depth_map, cam_params, cam_kind,
                      ur=ur_n, depth=jnp.where(sm.valid, sm.depth, -1.0))
 
 
+@partial(jax.jit, static_argnames=("cfg", "cam_kind", "cam2_kind"))
+def extract_stereo_general_frame(img_l, img_r, cam_params, cam_kind,
+                                 cam2_params, cam2_kind, R_rl, t_rl,
+                                 cfg: TrackerConfig) -> FrameData:
+    """Non-rectified two-camera extraction (KB8 fisheye stereo): dual ORB
+    extraction + epipolar-gated descriptor matching + midpoint triangulation
+    (reference Frame two-camera ctor, Frame.cc:194 Nleft/Nright, +
+    KannalaBrandt8::TriangulateMatches). Depth seeds metric landmarks; the
+    BA treats these observations as monocular (ur = NaN) since there is no
+    rectified right-u."""
+    from ..ops import stereo as stereo_ops
+    cam = cameras.Camera(cam_kind, cam_params)
+    cam2 = cameras.Camera(cam2_kind, cam2_params)
+    feats_l = frontend.extract_orb(img_l, cfg.orb)
+    feats_r = frontend.extract_orb(img_r, cfg.orb)
+    bear_l = cameras.unproject_bearing(cam, feats_l.uv)
+    bear_r = cameras.unproject_bearing(cam2, feats_r.uv)
+    sigma2 = cfg.scale ** (2.0 * feats_l.octave.astype(jnp.float32))
+    sm = stereo_ops.match_stereo_general(
+        feats_l, feats_r, bear_l, bear_r, feats_l.uv, feats_r.uv,
+        lambda X: cameras.project_distorted(cam, X),
+        lambda X: cameras.project_distorted(cam2, X),
+        R_rl, t_rl, sigma2)
+    uv = cameras.undistort_points(cam, feats_l.uv)
+    xn = cameras.unproject(cam, uv)[:, :2]
+    F = uv.shape[0]
+    return FrameData(uv=uv, xn=xn, octave=feats_l.octave,
+                     angle=feats_l.angle, desc=feats_l.desc,
+                     valid=feats_l.valid,
+                     ur=jnp.full(F, jnp.nan, jnp.float32),
+                     depth=jnp.where(sm.valid, sm.depth, -1.0))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def stereo_initialize(m: ms.MapState, fr: FrameData, ts, cfg: TrackerConfig):
     """First-frame stereo map (reference Tracking::StereoInitialization,
@@ -315,7 +348,7 @@ def create_close_landmarks(m: ms.MapState, kf_id, fr: FrameData,
     L = m.lm_valid.shape[0]
     th = cfg.th_depth * cfg.baseline
     freeF = (m.kf_feat_lm[kf_id] < 0) & fr.valid & (fr.depth > 0) &         (fr.depth < th)
-    MAXC = 128
+    MAXC = min(128, fr.uv.shape[0])
     score = jnp.where(freeF, -fr.depth, -jnp.inf)    # closest first
     _, sel = jax.lax.top_k(score, MAXC)
     sel_good = freeF[sel]
@@ -585,6 +618,70 @@ def imu_predict(R_cw, t_cw, v, bias, acc, gyro, dts, mask, calib):
 
 
 @jax.jit
+def continue_preintegration(pre, acc, gyro, dts, mask, calib):
+    """Extend the running since-last-KF preintegration with one frame's IMU
+    batch (reference mpImuPreintegratedFromLastKF, Tracking.cc:1528)."""
+    from .. import imu as imu_mod
+    return imu_mod.preintegrate(acc, gyro, dts, mask, pre.bias, calib,
+                                init=pre)
+
+
+@jax.jit
+def imu_predict_from_kf(m: ms.MapState, anchor_kf, bias, pre):
+    """Predict the current camera pose + velocity by dead-reckoning the
+    since-last-KF preintegration from the (possibly BA-updated) anchor
+    keyframe state (reference PredictStateIMU with mbMapUpdated,
+    Tracking.cc:1632)."""
+    from .. import imu as imu_mod
+    R_kf = m.kf_R[anchor_kf]
+    R_wb = R_kf.T
+    p = -lie.matvec(R_wb, m.kf_t[anchor_kf])
+    v = m.kf_v[anchor_kf]
+    R_wb2, p2, v2 = imu_mod.predict_state(R_wb, p, v, bias, pre)
+    R_cw2 = R_wb2.T
+    t_cw2 = -lie.matvec(R_cw2, p2)
+    return R_cw2, t_cw2, v2
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def pose_inertial_step(m: ms.MapState, fr: FrameData, feat_lm, R, t,
+                       v0, bias0, anchor_kf, pre, ref_kf,
+                       cfg: TrackerConfig):
+    """Per-frame visual-inertial pose refinement (reference
+    PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4391): fuse the
+    visual associations from the tracking step with the since-last-KF
+    preintegration, anchored on the last keyframe's state. Returns the
+    refined pose/velocity/bias + recomputed velocity model + trajectory
+    entry."""
+    from ..optim import vi_ba
+    lm_i = jnp.clip(feat_lm, 0, None)
+    valid = (feat_lm >= 0) & m.lm_valid[lm_i]
+    inv_sig2 = cfg.lm_cfg.sigma2_inv
+    info = (cfg.focal ** 2) * inv_sig2[
+        jnp.clip(fr.octave, 0, cfg.n_levels - 1)]
+    R_a = m.kf_R[anchor_kf]
+    R_a_wb = R_a.T
+    p_a = -lie.matvec(R_a_wb, m.kf_t[anchor_kf])
+    from ..optim import vi_ba as vi_ba_mod
+    info9 = jnp.linalg.inv(pre.C[:9, :9]
+                           + 1e-9 * jnp.eye(9, dtype=pre.C.dtype))
+    info9 = vi_ba_mod.floor_info(0.5 * (info9 + info9.T))
+    rw = 1.0 / jnp.clip(jnp.diagonal(pre.C[9:, 9:]), 1e-12, None)
+    res = vi_ba.optimize_pose_inertial(
+        R, t, v0, bias0,
+        m.lm_pos[lm_i], fr.xn, info, valid, fr.ur,
+        jnp.asarray(cfg.baseline, jnp.float32),
+        R_a_wb, p_a, m.kf_v[anchor_kf], m.kf_bias[anchor_kf],
+        pre.dt, pre.dR, pre.dV, pre.dP, pre.J_Rg, pre.J_Vg, pre.J_Va,
+        pre.J_Pg, pre.J_Pa, info9, pre.bias, rw, n_iters=6)
+    # refreshed trajectory entry relative to the reference keyframe
+    Rr, tr_ = m.kf_R[ref_kf], m.kf_t[ref_kf]
+    Rri, tri = lie.se3_inv(Rr, tr_)
+    rel = lie.se3_mul(res.R_cw, res.t_cw, Rri, tri)
+    return res, rel
+
+
+@jax.jit
 def apply_imu_gauge(m: ms.MapState, R_wg, scale, v_kf, bias):
     """Rotate + rescale the whole map after IMU initialization (reference
     Map::ApplyScaledRotation, Map.h:118 + LocalMapping.cc:1221)."""
@@ -614,20 +711,25 @@ class Tracker:
     IMU_BUF = 768   # max IMU samples accumulated between keyframes
 
     def __init__(self, cam: cameras.Camera, cfg: TrackerConfig,
-                 voc=None, imu_calib=None):
+                 voc=None, imu_calib=None, stereo_rig=None):
         self.cam = cam
         self.cfg = cfg
         self.voc = voc
         self.db = None
+        # non-rectified two-camera rig: (cam2, R_rl, t_rl) with
+        # X_right = R_rl X_left + t_rl (KB8 fisheye stereo — reference
+        # two-camera Frame path)
+        self.stereo_rig = stereo_rig
         # --- inertial state (reference Tracking IMU members) ---
         self.calib = imu_calib
-        # IMU dead-reckoning prediction needs accurate per-frame velocity
-        # states, which the reference maintains with per-frame
-        # pose-inertial optimization (PoseInertialOptimizationLastFrame) —
-        # until that lands (round 2), finite-difference velocities make the
-        # prediction actively harmful (A/B: stereo ATE 0.011 -> 0.76 with
-        # it on), so it stays off by default
-        self.imu_predict_ok = False
+        # IMU dead-reckoning predicts from the last KEYFRAME state through
+        # the running since-KF preintegration, and every frame is refined
+        # by the visual-inertial pose optimization
+        # (PoseInertialOptimizationLastKeyFrame) which maintains accurate
+        # velocities — both on by default once the IMU is initialized
+        self.imu_predict_ok = True
+        self._pre_from_kf = None      # running preintegration since last KF
+        self._anchor_kf = None        # the KF it starts from
         if imu_calib is not None and not cfg.inertial:
             object.__setattr__(cfg, "__dict__", dict(cfg.__dict__))  # no-op
             cfg = tracking_replace_inertial(cfg)
@@ -667,6 +769,7 @@ class Tracker:
         self.key = jax.random.PRNGKey(7)
         self.frames_lost = 0
         self._mapping_enabled = True
+        self._kf_prev_override = None   # set by Atlas merge (chain splice)
         # trajectory: list of (ts, map_gen, ref_kf, R_cr, t_cr) — pose
         # relative to a reference KF of a specific map generation
         # (reference mlRelativeFramePoses + mlpReferences, Tracking.h)
@@ -696,6 +799,25 @@ class Tracker:
         System::TrackStereo -> Tracking::GrabImageStereo)."""
         self.n_frames += 1
         cfg = self.cfg
+        if self.stereo_rig is not None:
+            # non-rectified two-camera path (fisheye stereo)
+            cam2, R_rl, t_rl = self.stereo_rig
+            fr = extract_stereo_general_frame(
+                jnp.asarray(img_l, jnp.float32),
+                jnp.asarray(img_r, jnp.float32),
+                self.cam.params, self.cam.kind, cam2.params, cam2.kind,
+                R_rl, t_rl, cfg)
+            if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
+                if int(jnp.sum(fr.valid & (fr.depth > 0))) >= \
+                        cfg.min_stereo_init_feats:
+                    return self._init_from_depth(fr, ts)
+                self.state = "NOT_INITIALIZED"
+                return self.state, None
+            if self.last is None:
+                if self._try_relocalize(fr):
+                    return self.state, (self.R_last, self.t_last)
+                return self.state, None
+            return self._track_framedata(fr, ts)
         if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
             fr = extract_stereo_frame(jnp.asarray(img_l, jnp.float32),
                                       jnp.asarray(img_r, jnp.float32),
@@ -729,6 +851,8 @@ class Tracker:
         cfg = self.cfg
         self.m, k0 = stereo_initialize(self.m, fr,
                                        jnp.asarray(ts, jnp.float32), cfg)
+        if self.calib is not None:
+            self._record_kf_imu(int(k0), ts)   # anchors ts_first_kf + pre
         self._db_add(int(k0), fr)
         self.last = fr
         self.last_feat_lm = self.m.kf_feat_lm[int(k0)]
@@ -749,6 +873,7 @@ class Tracker:
         """Monocular-inertial frame (reference System::TrackMonocular with
         IMU batch): samples cover (t_lastframe, ts]."""
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
+        self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
                 self.state == "OK" and self.last is not None:
             self._set_imu_prediction()
@@ -759,10 +884,23 @@ class Tracker:
     def track_stereo_inertial(self, img_l, img_r, ts: float, imu_acc,
                               imu_gyro, imu_ts):
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
+        self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
                 self.state == "OK" and self.last is not None:
             self._set_imu_prediction()
         out = self.track_stereo(img_l, img_r, ts)
+        self._after_inertial_frame(ts)
+        return out
+
+    def track_rgbd_inertial(self, img, depth_map, ts: float, imu_acc,
+                            imu_gyro, imu_ts):
+        """RGB-D + IMU frame (reference IMU_RGBD sensor mode)."""
+        self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
+        self._update_pre_from_kf()
+        if self.imu_ready and self.imu_predict_ok and \
+                self.state == "OK" and self.last is not None:
+            self._set_imu_prediction()
+        out = self.track_rgbd(img, depth_map, ts)
         self._after_inertial_frame(ts)
         return out
 
@@ -772,6 +910,13 @@ class Tracker:
             return
         acc = np.asarray(acc, np.float32)
         gyro = np.asarray(gyro, np.float32)
+        # rotate BODY-frame samples into the camera frame (body == camera
+        # downstream; the T_bc lever arm's angular-acceleration term is
+        # neglected — a few mm/s^2 at EuRoC geometry)
+        R_bc = np.asarray(self.calib.R_bc)
+        if not np.allclose(R_bc, np.eye(3)):
+            acc = acc @ R_bc            # row-wise R_bc^T @ a
+            gyro = gyro @ R_bc
         ts_arr = np.asarray(ts_arr)
         prev = getattr(self, "_last_frame_ts", ts_arr[0] - 0.005)
         dts = np.diff(np.concatenate([[prev], ts_arr])).astype(np.float32)
@@ -782,17 +927,50 @@ class Tracker:
         self.imu_buf.append((frame_ts, acc, gyro, dts))
         self._last_frame_ts = frame_ts
 
-    def _set_imu_prediction(self):
+    def _update_pre_from_kf(self):
+        """Extend the running since-last-KF preintegration with this frame's
+        IMU batch (reference mpImuPreintegratedFromLastKF)."""
+        if self._pre_from_kf is None:
+            return
         acc, gyro, dts = self._padded_frame_imu()
         if acc is None:
             return
-        R_pred, t_pred, v_pred = imu_predict(
-            self.R_last, self.t_last, self.v_cur, self.bias,
-            acc, gyro, dts, dts > 0, self.calib)
+        self._pre_from_kf = continue_preintegration(
+            self._pre_from_kf, acc, gyro, dts, dts > 0, self.calib)
+
+    def _reset_pre_from_kf(self, k: int):
+        """Restart the since-KF preintegration at the current bias."""
+        if self.calib is None:
+            return
+        from .. import imu as imu_mod
+        z = jnp.zeros((1, 3), jnp.float32)
+        self._pre_from_kf = imu_mod.preintegrate(
+            z, z, jnp.zeros(1, jnp.float32), jnp.zeros(1, bool),
+            self.bias, self.calib)
+        self._anchor_kf = k
+
+    def _set_imu_prediction(self):
+        """Constant-bias dead-reckoning from the last KEYFRAME through the
+        running preintegration (reference PredictStateIMU with map-updated,
+        Tracking.cc:1632)."""
+        if self._pre_from_kf is None or self._anchor_kf is None:
+            return
+        R_pred, t_pred, v_pred = imu_predict_from_kf(
+            self.m, jnp.asarray(self._anchor_kf, jnp.int32), self.bias,
+            self._pre_from_kf)
         Ri, ti = lie.se3_inv(self.R_last, self.t_last)
         self.vel = lie.se3_mul(R_pred, t_pred, Ri, ti)
         self.has_vel = True
-        self._vel_trusted = True
+        # the ROTATION part of the prediction is deliberately NOT trusted
+        # for the window search: the same preintegration also powers the
+        # per-frame pose-inertial refinement, and a trusted-rotation search
+        # + refinement form a positive feedback loop (prediction-centered
+        # windows select associations that confirm the prediction, the
+        # refinement's inertial edge re-confirms it; observed as runaway
+        # drift within ~10 frames). Translation prediction keeps the
+        # dead-reckoning benefit; the refinement restores the gyro's
+        # rotational information through the inertial edge itself.
+        self._vel_trusted = False
         self._v_pred = v_pred
 
     def _padded_frame_imu(self, cap=64):
@@ -813,9 +991,11 @@ class Tracker:
     def _after_inertial_frame(self, ts: float):
         if self.calib is None or self.state != "OK":
             return
-        # finite-difference world velocity (full inertial-frame optimization
-        # refines it at keyframes; reference PoseInertialOptimization)
-        if getattr(self, "_prev_pose_for_v", None) is not None:
+        # finite-difference world velocity BEFORE IMU init only — once
+        # initialized, the per-frame pose-inertial optimization maintains
+        # the velocity state (reference PoseInertialOptimization*)
+        if not self.imu_ready and \
+                getattr(self, "_prev_pose_for_v", None) is not None:
             (R0, t0, t_prev) = self._prev_pose_for_v
             dt = max(ts - t_prev, 1e-3)
             c1 = -lie.matvec(self.R_last.T, self.t_last)
@@ -834,8 +1014,12 @@ class Tracker:
             return
         elapsed = ts - self.ts_first_kf
         n_kf = self.n_kf_host
+        # (t_min, kf_min, priorG, priorA): InitializeIMU then VIBA1/VIBA2
+        # then periodic refinements (reference mono ScaleRefinement runs at
+        # 25/35/..75 s, LocalMapping.cc:263-272)
         stage_specs = [(2.0, 10, 1e2, 1e10), (5.0, 10, 1.0, 1e5),
-                       (15.0, 10, 0.0, 0.0)]
+                       (15.0, 10, 0.0, 0.0), (25.0, 10, 0.0, 0.0),
+                       (45.0, 10, 0.0, 0.0)]
         if self.viba_stage >= len(stage_specs):
             return
         t_min, kf_min, pg, pa = stage_specs[self.viba_stage]
@@ -855,11 +1039,16 @@ class Tracker:
         s_lin, g_lin, v_lin, rms = inertial_mod.linear_alignment(
             self.kf_imu, R_wb, p_wb, recent)
         g_norm = float(jnp.linalg.norm(g_lin))
-        # monocular scale from the inertial-only alignment is NOT reliable
-        # enough to re-gauge the map (needs the full visual-inertial BA,
-        # round 2) — mono applies the GRAVITY ROTATION only; stereo/RGB-D
-        # maps are already metric (s = 1)
+        # monocular scale from the closed-form alignment re-gauges the map
+        # to metric; the FullInertialBA below then refines it jointly with
+        # the visual structure (reference InitializeIMU scale +
+        # FullInertialBA, LocalMapping.cc:1205-1250). Stereo/RGB-D maps are
+        # already metric (s = 1)
         s_f = 1.0
+        if mono and not self.imu_ready:
+            s_cand = float(s_lin)
+            if 0.05 < s_cand < 50.0:
+                s_f = s_cand
         if not (9.0 < g_norm < 10.6) or float(rms) > 0.03:
             # inconsistent alignment (drifty map / weak excitation) — retry
             return
@@ -873,25 +1062,41 @@ class Tracker:
                     & jnp.isfinite(bg).all() & jnp.isfinite(ba).all()):
             return
         self.bias = jnp.concatenate([bg, ba])
-        if not self.imu_ready:
-            self.m = apply_imu_gauge(m, R_wg, jnp.asarray(s_f, jnp.float32),
-                                     v_e, self.bias)
-            # gauge also moves the tracker's anchors + trajectory
-            Rl, tl = self.R_last, self.t_last
-            self.R_last = lie.matmat(Rl, R_wg)
-            self.t_last = tl * s_f
-            self.v_cur = lie.matvec(R_wg.T, self.v_cur)
+        if self.imu_ready:
+            s_f = 1.0   # later stages refine gravity/bias at fixed scale
+        # apply the (re-)estimated gravity rotation + scale gauge on EVERY
+        # stage: a residual gravity tilt theta injects a secular 9.81*theta
+        # m/s^2 velocity error into every inertial edge (observed as |v|
+        # inflating ~0.5 m/s per second until tracking failed) — the
+        # reference likewise re-applies the InertialOptimization estimate at
+        # each VIBA stage (LocalMapping.cc:1221, ApplyScaledRotation)
+        self.m = apply_imu_gauge(m, R_wg, jnp.asarray(s_f, jnp.float32),
+                                 v_e, self.bias)
+        Rl, tl = self.R_last, self.t_last
+        self.R_last = lie.matmat(Rl, R_wg)
+        self.t_last = tl * s_f
+        self.v_cur = lie.matvec(R_wg.T, self.v_cur) * s_f
+        if s_f != 1.0:
             self.trajectory = [
                 (t_, g_, r_, R_cr, t_cr * s_f) if g_ == self.map_gen
                 else (t_, g_, r_, R_cr, t_cr)
                 for (t_, g_, r_, R_cr, t_cr) in self.trajectory]
+        self.has_vel = False
+        self.imu_ready = True
+        # full visual-inertial BA over the young map (reference
+        # FullInertialBA from InitializeIMU / VIBA1 / VIBA2,
+        # LocalMapping.cc:212-261) with the stage's bias priors
+        if self.n_kf_host >= 4:
+            last = self.n_kf_host - 1
+            self.m, _ = local_mapping.full_inertial_ba(
+                self.m, self.kf_imu, jnp.asarray(last, jnp.int32),
+                self.cfg.lm_cfg, window=32,
+                prior_gyro=max(pg, 1e-2), prior_acc=max(pa, 1e-2))
+            self.bias = self.m.kf_bias[last]
+            # next frame re-anchors on the corrected KF state via
+            # imu_predict_from_kf; the stale constant-velocity model is
+            # dropped
             self.has_vel = False
-            self.imu_ready = True
-        else:
-            self.m = self.m._replace(
-                kf_v=jnp.where(self.m.kf_valid[:, None], v_e, self.m.kf_v),
-                kf_bias=jnp.where(self.m.kf_valid[:, None],
-                                  self.bias[None, :], self.m.kf_bias))
         self.viba_stage += 1
 
     def track_mono(self, img, ts: float):
@@ -959,7 +1164,7 @@ class Tracker:
     def _track_framedata(self, fr: FrameData, ts: float):
         cfg = self.cfg
         vel_R, vel_t = self.vel
-        with self.timers.stage("TrackTotal", result=fr.uv):
+        with self.timers.stage("TrackTotal") as st:
             out_tuple = track_step_framedata(
                 fr, self.m, self.last, self.last_feat_lm,
                 self.R_last, self.t_last, vel_R, vel_t,
@@ -967,6 +1172,7 @@ class Tracker:
                 jnp.asarray(self.ref_kf, jnp.int32),
                 self.cam.params, self.cam.kind, cfg,
                 jnp.asarray(self._take_vel_trust()))
+            st.set(out_tuple[4])
             _start_fetch(out_tuple[4])
             return self._post_track(out_tuple, ts)
 
@@ -985,7 +1191,7 @@ class Tracker:
             return self.state, None
         vel_R, vel_t = self.vel
         trust = jnp.asarray(self._take_vel_trust())
-        with self.timers.stage("TrackTotal"):
+        with self.timers.stage("TrackTotal") as st:
             if isinstance(img, tuple):
                 out_tuple = track_step_stereo(
                     img[0], img[1], self.m, self.last, self.last_feat_lm,
@@ -1000,6 +1206,7 @@ class Tracker:
                     jnp.asarray(self.has_vel),
                     jnp.asarray(self.ref_kf, jnp.int32),
                     self.cam.params, self.cam.kind, cfg, trust)
+            st.set(out_tuple[4])
             _start_fetch(out_tuple[4])
             return self._post_track(out_tuple, ts)
 
@@ -1082,6 +1289,26 @@ class Tracker:
         else:
             self.has_vel = False
         self.R_last, self.t_last = out.R, out.t
+        # visual-inertial per-frame refinement (reference replaces
+        # PoseOptimization with PoseInertialOptimizationLastKeyFrame once
+        # the IMU is initialized, Tracking.cc:2763-2785): fuses the
+        # since-KF preintegration, maintaining accurate velocity + bias
+        if (self.calib is not None and self.imu_ready
+                and self._pre_from_kf is not None
+                and self._anchor_kf is not None):
+            v0 = getattr(self, "_v_pred", None)
+            if v0 is None:
+                v0 = self.v_cur
+            res, rel2 = pose_inertial_step(
+                self.m, fr, out.feat_lm, out.R, out.t, v0, self.bias,
+                jnp.asarray(self._anchor_kf, jnp.int32),
+                self._pre_from_kf, jnp.asarray(ref_kf_new, jnp.int32),
+                cfg)
+            self.R_last, self.t_last = res.R_cw, res.t_cw
+            self.v_cur = res.v
+            self.bias = res.bias
+            rel = rel2
+            out = out._replace(R=res.R_cw, t=res.t_cw)
         self.last = fr
         self.last_feat_lm = out.feat_lm
         self.ref_kf = ref_kf_new
@@ -1108,16 +1335,33 @@ class Tracker:
         self.m, _ = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
                                     ts)
         self.n_kf_host += 1
-        self._record_kf_imu(k, ts)
+        # after an Atlas merge the temporal predecessor is NOT k-1 (that
+        # slot holds the last welded old-map KF) — splice the chain to the
+        # pre-merge newest active KF instead
+        prev_override = getattr(self, "_kf_prev_override", None)
+        if prev_override is not None:
+            self.m = self.m._replace(
+                kf_prev=self.m.kf_prev.at[k].set(prev_override))
+            self._kf_prev_override = None
+            self._record_kf_imu(k, ts, prev=prev_override)
+        else:
+            self._record_kf_imu(k, ts)
         if self.cfg.baseline > 0:
             self.m = create_close_landmarks(
                 self.m, jnp.asarray(k, jnp.int32), fr, self.cfg)
         bow = self._db_add(k, fr)
-        with self.timers.stage("LMTotal"):
-            self.m = local_mapping.mapping_step(
-                self.m, k, self.cam.params, self.cam.kind, self.cfg.lm_cfg)
-            if self.timers.enabled:
-                jax.block_until_ready(self.m.kf_R)
+        with self.timers.stage("LMTotal") as st:
+            if self.cfg.inertial and self.imu_ready and \
+                    self.kf_imu is not None:
+                # LocalInertialBA window (reference LocalMapping.cc:173)
+                self.m = local_mapping.mapping_step_inertial(
+                    self.m, self.kf_imu, k, self.cam.params, self.cam.kind,
+                    self.cfg.lm_cfg)
+            else:
+                self.m = local_mapping.mapping_step(
+                    self.m, k, self.cam.params, self.cam.kind,
+                    self.cfg.lm_cfg)
+            st.set(self.m.kf_R)
         if self.loop_closer is not None and bow is not None:
             with self.timers.stage("LoopTotal"):
                 if self.loop_closer.maybe_close(self, k, bow):
@@ -1134,7 +1378,7 @@ class Tracker:
         self.t_last = self.m.kf_t[k]
         self.frames_since_kf = 0
 
-    def _record_kf_imu(self, k: int, ts: float):
+    def _record_kf_imu(self, k: int, ts: float, prev: int = None):
         if self.calib is None:
             return
         from .. import imu as imu_mod
@@ -1166,11 +1410,13 @@ class Tracker:
                                             np.zeros(pad, np.float32)])),
                 jnp.arange(cap) < n, self.bias, self.calib)
             self.kf_imu = inertial_mod.set_kf_imu(
-                self.kf_imu, k, pre, k - 1)
+                self.kf_imu, k, pre, k - 1 if prev is None else prev)
             self.m = self.m._replace(
                 kf_v=self.m.kf_v.at[k].set(self.v_cur),
                 kf_bias=self.m.kf_bias.at[k].set(self.bias))
         self.imu_buf = []
+        # restart the per-frame since-KF preintegration at this keyframe
+        self._reset_pre_from_kf(k)
 
     def _db_add(self, kf_id: int, fr: FrameData):
         if self.db is None:
@@ -1208,6 +1454,13 @@ class Tracker:
         self.has_vel = False
         self.state = "OK"
         self.frames_lost = 0
+        # re-arm the keyframe trigger: the reference-match baseline must
+        # reflect the relocalized frame, and insertion should be possible
+        # immediately (a freshly restored session otherwise never inserts
+        # KFs until max_kf_interval elapses)
+        self._ref_matches = n_inl
+        self._ref_matches_dev = None
+        self.frames_since_kf = self.cfg.min_kf_interval
         return True
 
     # -- multi-map Atlas (reference Atlas + Tracking::CreateMapInAtlas) ----
@@ -1225,6 +1478,8 @@ class Tracker:
             self.viba_stage = 0
             self.ts_first_kf = None
             self.v_cur = jnp.zeros(3)
+            self._pre_from_kf = None
+            self._anchor_kf = None
         self.state = "NOT_INITIALIZED"
         self.fr_init = None
         self.last = None

@@ -60,6 +60,28 @@ class System:
         self.voc = vocabulary
 
         cam = settings.cam1.to_camera()
+        width = settings.cam1.width or 752
+        height = settings.cam1.height or 480
+        focal = settings.cam1.fx
+        baseline = settings.baseline if (sensor.stereo or sensor.rgbd) \
+            else 0.0
+
+        # stereo rectification (reference Settings::precomputeRectification-
+        # Maps + the cv::remap preamble of System::TrackStereo): raw
+        # unrectified stereo (distorted pinhole or KB8 fisheye) is remapped
+        # once per frame into an ideal rectified pinhole pair
+        self.rectify = None
+        if (sensor.stereo and settings.cam2 is not None
+                and settings.T_c1_c2 is not None
+                and settings.cam1.model != "Rectified"):
+            from .ops import rectify as rectify_mod
+            cam2 = settings.cam2.to_camera()
+            self.rectify = rectify_mod.build_rectify_maps(
+                cam, cam2, settings.T_c1_c2, width, height)
+            cam = self.rectify.cam_new
+            focal = float(cam.params[0])
+            baseline = float(self.rectify.baseline)
+
         calib = None
         if sensor.inertial:
             if settings.imu is None:
@@ -70,17 +92,20 @@ class System:
             if i.T_b_c1 is not None:
                 R_bc = i.T_b_c1[:3, :3]
                 t_bc = i.T_b_c1[:3, 3]
+            if self.rectify is not None:
+                # rectification rotates the camera-1 frame by R_rect1:
+                # camera_rect -> body = (camera1 -> body) o (rect -> cam1)
+                R_bc = R_bc @ np.asarray(self.rectify.R_rect1).T
             calib = imu_mod.make_calib(R_bc, t_bc, i.noise_gyro, i.noise_acc,
                                        i.walk_gyro, i.walk_acc, i.frequency)
         kw = dict(
-            width=settings.cam1.width or 752,
-            height=settings.cam1.height or 480,
-            focal=settings.cam1.fx,
+            width=width,
+            height=height,
+            focal=focal,
             n_feat=settings.n_features,
             scale=settings.scale_factor,
             n_levels=settings.n_levels,
-            baseline=settings.baseline if (sensor.stereo or sensor.rgbd)
-            else 0.0,
+            baseline=baseline,
             th_depth=settings.th_depth,
         )
         if tracker_overrides:
@@ -102,6 +127,12 @@ class System:
         return self.tracker.track_mono(img, ts)
 
     def track_stereo(self, img_l, img_r, ts: float, imu_batch=None):
+        if self.rectify is not None:
+            from .ops import rectify as rectify_mod
+            img_l = rectify_mod.remap_bilinear(
+                jnp.asarray(img_l, jnp.float32), self.rectify.map1)
+            img_r = rectify_mod.remap_bilinear(
+                jnp.asarray(img_r, jnp.float32), self.rectify.map2)
         if self.sensor.inertial and imu_batch is not None:
             ts_i, acc, gyro = imu_batch
             return self.tracker.track_stereo_inertial(img_l, img_r, ts, acc,
@@ -109,6 +140,10 @@ class System:
         return self.tracker.track_stereo(img_l, img_r, ts)
 
     def track_rgbd(self, img, depth, ts: float, imu_batch=None):
+        if self.sensor.inertial and imu_batch is not None:
+            ts_i, acc, gyro = imu_batch
+            return self.tracker.track_rgbd_inertial(img, depth, ts, acc,
+                                                    gyro, ts_i)
         return self.tracker.track_rgbd(img, depth, ts)
 
     # ---- modes / control (System.cc:462-531) -----------------------------
@@ -169,20 +204,27 @@ class System:
         trajectory.write_tum(path, self._keyframe_poses())
 
     def save_atlas(self, path):
-        serialization.save_map(path, self.tracker.m,
-                               meta={"sensor": self.sensor.value},
-                               voc=self.voc)
+        """Whole-Atlas checkpoint: active map + stashed maps + inertial
+        chain + trajectory (reference System::SaveAtlas, System.cc:1384)."""
+        serialization.save_atlas(path, self.tracker,
+                                 meta={"sensor": self.sensor.value},
+                                 voc=self.voc)
 
     def load_atlas(self, path):
-        self.tracker.m = serialization.load_map(path, voc=self.voc)
+        try:
+            serialization.load_atlas(path, self.tracker, voc=self.voc)
+            return
+        except ValueError:
+            # legacy single-map checkpoint
+            self.tracker.m = serialization.load_map(path, voc=self.voc)
+            self.tracker.n_kf_host = int(self.tracker.m.n_kf)
         m = self.tracker.m
-        n = int(m.n_kf)
-        self.tracker.n_kf_host = n
+        n = self.tracker.n_kf_host
         # rebuild the place-recognition database (BoW is derived state)
         if self.voc is not None and self.tracker.db is not None:
             from .vocab import database as kfdb, tree as voctree
             valid = np.asarray(m.kf_valid)
-            for k in range(n):
+            for k in range(min(n, len(valid))):
                 if not valid[k]:
                     continue
                 bow = voctree.bow_vector(self.voc, voctree.transform(

@@ -30,6 +30,18 @@ MAPPING_STAGES = ("KFInsert", "MPCulling", "MPCreation", "LBA", "KFCulling",
 LOOP_STAGES = ("PRTotal", "MergeTotal", "LoopTotal", "GBATotal")
 
 
+class _StageResult:
+    """Mutable holder: the stage body deposits its output pytree here so
+    sync mode can block on the stage's REAL outputs (not its inputs)."""
+    __slots__ = ("result",)
+
+    def __init__(self, result=None):
+        self.result = result
+
+    def set(self, result):
+        self.result = result
+
+
 class StageTimers:
     """Named wall-clock stage timers (reference vd*_ms vectors)."""
 
@@ -40,20 +52,23 @@ class StageTimers:
 
     @contextlib.contextmanager
     def stage(self, name: str, result=None):
-        """Time a stage. Pass `result` (a jax array/pytree) to block on it
-        when sync mode is on, so the sample is real device time."""
+        """Time a stage. Yields a holder; call `.set(out)` with the stage's
+        output pytree so sync mode blocks on real device compute."""
+        holder = _StageResult(result)
         if not self.enabled:
-            yield
+            yield holder
             return
         t0 = time.perf_counter()
-        yield
-        if self.sync:
-            import jax
-            try:
-                jax.block_until_ready(result)
-            except Exception:
-                pass
-        self.samples[name].append((time.perf_counter() - t0) * 1e3)
+        try:
+            yield holder
+        finally:
+            if self.sync and holder.result is not None:
+                import jax
+                try:
+                    jax.block_until_ready(holder.result)
+                except Exception:
+                    pass
+            self.samples[name].append((time.perf_counter() - t0) * 1e3)
 
     def add_ms(self, name: str, ms: float):
         if self.enabled:
@@ -112,7 +127,9 @@ def global_timers() -> StageTimers:
     global _global
     if _global is None:
         import os
-        on = os.environ.get("MORB_REGISTER_TIMES", "0") not in ("0", "")
-        sync = os.environ.get("MORB_REGISTER_TIMES", "0") == "sync"
-        _global = StageTimers(enabled=on, sync=sync or on)
+        val = os.environ.get("MORB_REGISTER_TIMES", "0")
+        on = val not in ("0", "")
+        # sync is OPT-IN (MORB_REGISTER_TIMES=sync): plain "1" measures
+        # async dispatch latency only, as documented
+        _global = StageTimers(enabled=on, sync=val == "sync")
     return _global

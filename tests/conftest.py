@@ -16,9 +16,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_memory():
+    """Free compiled-executable memory between test modules: the full suite
+    accumulates hundreds of distinct XLA CPU programs in one process, which
+    previously ended in a segfault inside XLA during the later e2e modules
+    (every test passes in isolation). Costs some recompilation, buys a
+    stable single-process `pytest tests/`."""
+    yield
+    jax.clear_caches()

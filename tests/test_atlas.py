@@ -129,3 +129,65 @@ def test_atlas_lost_and_merge_e2e():
         jnp.asarray(np.asarray(gt), jnp.float32), with_scale=True)
     extent = 24 * 0.05
     assert float(rmse) < 0.08 * extent, (float(rmse), extent)
+
+
+def test_atlas_save_load_revisit_merge(tmp_path):
+    """Whole-Atlas persistence e2e (reference SaveAtlas/LoadAtlas +
+    PostLoad, System.cc:1384-1504): track, stash a map, SAVE the atlas,
+    reload it into a FRESH tracker, keep tracking over old ground, and the
+    stashed map must still merge back — stash, databases and trajectory all
+    survive the round trip."""
+    from morb_slam_tpu.io import serialization
+
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    fwd = camera_path(24, step=0.05)
+    seq = fwd + fwd[-2::-1]
+
+    ocfg = frontend.OrbConfig(n_features=300, n_levels=4)
+    descs = []
+    for R, t in seq[::6]:
+        f = frontend.extract_orb(jnp.asarray(world.render(R, t), jnp.float32),
+                                 ocfg)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = tree.train(np.concatenate(descs), k=6, depth=3, iters=3)
+
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=64, max_lm=8000, n_levels=4,
+                                 min_init_matches=60, min_init_points=40)
+    tr = tracking.Tracker(cam, cfg, voc=voc)
+
+    cut = len(fwd)
+    for i, (R, t) in enumerate(seq[:cut + 6]):
+        if i == cut:
+            tr.create_map_in_atlas()
+        img = world.render(R, t)
+        tr.track_mono(jnp.asarray(img, jnp.float32), ts=float(i))
+    assert len(tr.stash) == 1
+    n_traj_before = len(tr.trajectory)
+
+    path = str(tmp_path / "atlas")
+    serialization.save_atlas(path, tr, voc=voc)
+
+    # fresh tracker; restore everything
+    tr2 = tracking.Tracker(cam, cfg, voc=voc)
+    serialization.load_atlas(path, tr2, voc=voc)
+    assert len(tr2.stash) == 1
+    assert tr2.map_gen == tr.map_gen
+    assert len(tr2.trajectory) == n_traj_before
+    assert tr2.stash[0].db is not None
+    # restored db must be queryable for merging; the loader put the session
+    # into RECENTLY_LOST, so it relocalizes into the restored active map
+    assert tr2.state == "RECENTLY_LOST"
+    states = []
+    for i, (R, t) in enumerate(seq[cut + 6:], start=cut + 6):
+        img = world.render(R, t)
+        state, _ = tr2.track_mono(jnp.asarray(img, jnp.float32),
+                                  ts=float(i))
+        states.append(state)
+    merged = any(st.merged_into_gen >= 0 for st in tr2.stash)
+    assert merged, "restored stash never merged on revisit"
+    # resolved trajectory spans BOTH generations after the merge
+    traj = tr2.trajectory_world()
+    assert len(traj) > 0.5 * len(seq)
