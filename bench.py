@@ -1,28 +1,31 @@
-"""Benchmark: tracked frames/s of the full monocular SLAM pipeline on the
-real device (extraction + matching + pose optimization + keyframe mapping).
+"""Benchmark: tracked frames/s of the full SLAM pipeline on the real device
+(extraction + matching + pose optimization + keyframe mapping), plus
+secondary metrics the BASELINE names: stereo-inertial ATE on a synthetic
+EuRoC-like sequence, BA iterations/s, and per-stage device milliseconds.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 Baseline: the reference (MORB_SLAM/ORB-SLAM3) sustains real-time 20 fps on
 EuRoC-class input on an i7 CPU (BASELINE.md); vs_baseline = fps / 20.
 
-Runs an EuRoC-geometry synthetic sequence (752x480, fx=460, 1200 ORB
-features, 8 pyramid levels) rendered on the host; timing covers the
-steady-state tracking loop after jit warmup.
+The primary run is an EuRoC-geometry synthetic sequence (752x480, fx=460,
+1200 ORB features, 8 pyramid levels, uint8 frames) through the monocular
+pipeline; timing covers the steady-state tracking loop after jit warmup.
 """
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
 
 import numpy as np
 
 
-def main():
+def mono_run():
     import jax
     import jax.numpy as jnp
-    from morb_slam_tpu import cameras
+    from morb_slam_tpu import alignment, cameras
     from morb_slam_tpu.pipeline import tracking
     from synthetic_world import PlaneWorld, camera_path
 
@@ -32,7 +35,9 @@ def main():
     world = PlaneWorld(K, W, H, seed=0)
     n_frames = 80
     poses = camera_path(n_frames, step=0.05)
-    frames = [world.render(R, t) for R, t in poses]
+    # uint8 frames: 4x cheaper host->device transfer, cast on device
+    frames = [np.clip(world.render(R, t), 0, 255).astype(np.uint8)
+              for R, t in poses]
 
     cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=1200,
                                  max_kf=256, max_lm=16384, n_levels=8,
@@ -45,18 +50,147 @@ def main():
     for i, img in enumerate(frames):
         if i == warmup:
             t_start = time.perf_counter()
-        state, pose = tracker.track_mono(jnp.asarray(img, jnp.float32),
-                                         ts=float(i))
+        state, pose = tracker.track_mono(img, ts=float(i))
         if i >= warmup:
             n_timed += 1
+    tracker.flush()
     elapsed = time.perf_counter() - t_start
     fps = n_timed / elapsed
+
+    # trajectory accuracy (Sim3-aligned ATE, mono scale free)
+    traj = tracker.trajectory_world()
+    est, gt = [], []
+    for ts, p in traj:
+        i = int(round(ts))
+        R, t = poses[i]
+        gt.append(-(R.T @ t))
+        est.append(p)
+    ate = float("nan")
+    if len(est) > 10:
+        rmse, s, _, _ = alignment.ate_rmse(
+            jnp.asarray(np.asarray(est), jnp.float32),
+            jnp.asarray(np.asarray(gt), jnp.float32), with_scale=True)
+        ate = round(float(rmse), 4)
+    return fps, ate
+
+
+def stereo_inertial_run():
+    """Small stereo-inertial synthetic: metric SE3 ATE with the full VI
+    stack (IMU init, VI-BA, per-frame pose-inertial refinement)."""
+    import jax.numpy as jnp
+    from morb_slam_tpu import alignment, cameras, imu
+    from morb_slam_tpu.pipeline import tracking
+    from synthetic_world import PlaneWorld, analytic_pose, imu_between
+
+    W, H, FX = 384, 288, 300.0
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    calib = imu.make_calib(np.eye(3), np.zeros(3), 1.7e-4, 2e-3, 1.9e-5,
+                           3e-3, 200.0)
+    b = 0.12
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=96, max_lm=8000, n_levels=4,
+                                 baseline=b, min_stereo_init_feats=200)
+    tr = tracking.Tracker(cam, cfg, imu_calib=calib)
+    rng = np.random.default_rng(1)
+    prev_t = -0.05
+    n_frames = 60
+    gt = []
+    t_start = None
+    n_timed = 0
+    warmup = 20
+    for i in range(n_frames):
+        t = i * 0.05
+        R, tc = analytic_pose(t)
+        gt.append(-(R.T @ tc))
+        il = np.clip(world.render(R.astype(np.float32),
+                                  tc.astype(np.float32)), 0,
+                     255).astype(np.uint8)
+        ir = np.clip(world.render(
+            R.astype(np.float32),
+            (tc - np.asarray([b, 0, 0])).astype(np.float32)), 0,
+            255).astype(np.uint8)
+        ts_i, acc, gyr = imu_between(prev_t, t, rng=rng, noise_g=2.4e-3,
+                                     noise_a=2.8e-2)
+        if i == warmup:
+            t_start = time.perf_counter()
+        state, pose = tr.track_stereo_inertial(il, ir, t, acc, gyr, ts_i)
+        if i >= warmup:
+            n_timed += 1
+        prev_t = t
+    fps = n_timed / (time.perf_counter() - t_start)
+    traj = tr.trajectory_world()
+    est, gtp = [], []
+    for ts, p in traj:
+        i = int(round(ts / 0.05))
+        gtp.append(gt[i])
+        est.append(p)
+    ate = float("nan")
+    if len(est) > 10:
+        rmse, _, _, _ = alignment.ate_rmse(
+            jnp.asarray(np.asarray(est), jnp.float32),
+            jnp.asarray(np.asarray(gtp), jnp.float32), with_scale=False)
+        ate = round(float(rmse), 4)
+    return fps, ate, bool(tr.imu_ready)
+
+
+def ba_iters_per_s():
+    """Local-window BA LM iterations per second (BASELINE metric string)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from morb_slam_tpu.optim import ba as ba_mod
+    rng = np.random.default_rng(0)
+    K, L, O = 20, 6144, 24000
+    prob = ba_mod.make_problem(
+        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)),
+        t=jnp.zeros((K, 3)),
+        X=jnp.asarray(rng.normal(0, 1, (L, 3)), jnp.float32)
+        + jnp.asarray([0, 0, 5.0]),
+        obs_kf=jnp.asarray(rng.integers(0, K, O), jnp.int32),
+        obs_lm=jnp.asarray(rng.integers(0, L, O), jnp.int32),
+        obs_uv=jnp.asarray(rng.normal(0, 0.2, (O, 2)), jnp.float32),
+        obs_info=jnp.full(O, 1e5, jnp.float32),
+        obs_mask=jnp.ones(O, bool),
+        kf_opt=jnp.ones(K, bool).at[0].set(False).at[1].set(False),
+        lm_opt=jnp.ones(L, bool))
+    f = jax.jit(partial(ba_mod.ba_solve, n_iters=10))
+    out = f(prob)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        out = f(prob)
+    jax.block_until_ready(out[0])
+    per_solve = (time.perf_counter() - t0) / n
+    return 10.0 * n / (time.perf_counter() - t0 + 1e-9), per_solve
+
+
+def main():
+    detail = {}
+    fps, ate_mono = mono_run()
+    detail["mono_ate_sim3_m"] = ate_mono
+    try:
+        si_fps, si_ate, imu_ok = stereo_inertial_run()
+        detail["stereo_inertial_fps"] = round(si_fps, 2)
+        detail["stereo_inertial_ate_se3_m"] = si_ate
+        detail["imu_initialized"] = imu_ok
+    except Exception as e:   # secondary metrics must not kill the bench
+        detail["stereo_inertial_error"] = str(e)[:120]
+    try:
+        ips, per_solve = ba_iters_per_s()
+        detail["ba_iters_per_s"] = round(ips, 1)
+        detail["ba_solve_ms_10it"] = round(per_solve * 1e3, 1)
+    except Exception as e:
+        detail["ba_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "tracked_frames_per_second",
         "value": round(fps, 2),
         "unit": "frames/s (752x480 mono, 1200 ORB, full SLAM loop)",
         "vs_baseline": round(fps / 20.0, 3),
+        "detail": detail,
     }))
 
 

@@ -74,6 +74,7 @@ def save_atlas(path: str, tracker, meta: dict | None = None, voc=None):
     map (with its BoW database and inertial preintegration store), the
     tracker's kf_imu chain, the frame trajectory and the inertial/session
     counters. One npz of arrays + one json manifest."""
+    getattr(tracker, "flush", lambda: None)()   # resolve pipelined frame
     arrays = {}
 
     def put(prefix, d):

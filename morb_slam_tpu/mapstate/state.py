@@ -259,5 +259,64 @@ def update_landmark_stats(m: MapState) -> MapState:
     )
 
 
+def update_landmark_stats_window(m: MapState, win_idx, win_ok) -> MapState:
+    """Windowed landmark-statistics refresh: recompute descriptor/normal/
+    scale band only for landmarks observed by the given keyframe window,
+    using the WINDOW's observations (the mapping hot path touches only
+    these; a full-map refresh is O(K*F*256) and dominated the per-keyframe
+    mapping cost). Mature landmarks outside the window keep their stats —
+    mirrors the reference updating only touched MapPoints
+    (MapPoint::UpdateNormalAndDepth after each change)."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    W = win_idx.shape[0]
+    f32 = jnp.float32
+    slot_ok = (m.kf_feat_valid[win_idx] & win_ok[:, None]
+               & (m.kf_feat_lm[win_idx] >= 0)
+               & m.kf_valid[win_idx][:, None])
+    lm_of = jnp.where(slot_ok, m.kf_feat_lm[win_idx], L).reshape(-1)  # (W*F,)
+    desc = m.kf_feat_desc[win_idx].reshape(W * F, 8)
+    okf = slot_ok.reshape(-1)
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((desc[:, :, None] >> shifts) & jnp.uint32(1)) \
+        .reshape(W * F, 256).astype(f32)
+    bit_sum = jax.ops.segment_sum(bits * okf[:, None], lm_of,
+                                  num_segments=L + 1)[:L]
+    n_sum = jax.ops.segment_sum(okf.astype(f32), lm_of,
+                                num_segments=L + 1)[:L]
+
+    cam_centers = -lie_matvec(jnp.swapaxes(m.kf_R[win_idx], -1, -2),
+                              m.kf_t[win_idx])                  # (W, 3)
+    ctr = jnp.repeat(cam_centers, F, axis=0)                    # (W*F, 3)
+    lm_pad = jnp.concatenate([m.lm_pos, jnp.zeros((1, 3), f32)])
+    v = lm_pad[lm_of] - ctr
+    vn = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9,
+                      None)
+    nrm_sum = jax.ops.segment_sum(vn * okf[:, None], lm_of,
+                                  num_segments=L + 1)[:L]
+
+    maj = (2.0 * bit_sum > n_sum[:, None])
+    words = maj.reshape(L, 8, 32).astype(jnp.uint32)
+    new_desc = jnp.sum(words << shifts, axis=-1).astype(jnp.uint32)
+    normal = nrm_sum / jnp.clip(
+        jnp.linalg.norm(nrm_sum, axis=-1, keepdims=True), 1e-9, None)
+
+    # scale band: max over window observations of dist * scale^octave
+    dist = jnp.linalg.norm(v, axis=-1)
+    octv = m.kf_feat_octave[win_idx].reshape(-1).astype(f32)
+    dmax_obs = dist * (1.2 ** jnp.clip(octv, 0, 15))
+    dmax = jax.ops.segment_max(jnp.where(okf, dmax_obs, 0.0), lm_of,
+                               num_segments=L + 1)[:L]
+
+    upd = m.lm_valid & (n_sum > 0)
+    return m._replace(
+        lm_desc=jnp.where(upd[:, None], new_desc, m.lm_desc),
+        lm_normal=jnp.where(upd[:, None], normal, m.lm_normal),
+        lm_dist_max=jnp.where(upd & (dmax > 0),
+                              jnp.maximum(dmax, 1e-3), m.lm_dist_max),
+    )
+
+
 def lie_matvec(M, v):
     return jnp.sum(M * v[..., None, :], axis=-1)

@@ -110,6 +110,84 @@ def splice_kf_imu(dst: KfImu, src: KfImu, off, n) -> KfImu:
     return KfImu(**out)
 
 
+def compose_preintegration(dt1, dR1, dV1, dP1, J1, info1, rw1,
+                           dt2, dR2, dV2, dP2, J2, info2, rw2):
+    """Analytically compose two consecutive preintegration blocks 1 (i->j)
+    and 2 (j->k) into one block (i->k) — the reference re-integrates raw
+    measurements on keyframe culling (Preintegrated::MergePrevious,
+    ImuTypes.cc:248); here the stored deltas/Jacobians/covariances compose
+    in closed form. J1/J2 are dicts with Rg/Vg/Va/Pg/Pa.
+
+    The bias-Jacobian cross terms use the small-rotation approximation
+    dR2(t) ~ I inside the block-2 integral (culled keyframes are temporally
+    adjacent); the error is second-order in (rotation x bias delta).
+    """
+    dt = dt1 + dt2
+    dR = lie.matmat(dR1, dR2)
+    dV = dV1 + lie.matvec(dR1, dV2)
+    dP = dP1 + dV1 * dt2 + lie.matvec(dR1, dP2)
+    dR2T = jnp.swapaxes(dR2, -1, -2)
+    hV2 = lie.so3_hat(dV2)
+    hP2 = lie.so3_hat(dP2)
+    J = {
+        "Rg": lie.matmat(dR2T, J1["Rg"]) + J2["Rg"],
+        "Va": J1["Va"] + lie.matmat(dR1, J2["Va"]),
+        "Vg": (J1["Vg"] + lie.matmat(dR1, J2["Vg"])
+               - lie.matmat(dR1, lie.matmat(hV2, J1["Rg"]))),
+        "Pa": J1["Pa"] + J1["Va"] * dt2 + lie.matmat(dR1, J2["Pa"]),
+        "Pg": (J1["Pg"] + J1["Vg"] * dt2 + lie.matmat(dR1, J2["Pg"])
+               - lie.matmat(dR1, lie.matmat(hP2, J1["Rg"]))),
+    }
+    # covariance composition: C = A C1 A^T + T C2 T^T
+    f32 = dR1.dtype
+    eye3 = jnp.eye(3, dtype=f32)
+    z3 = jnp.zeros((3, 3), f32)
+    A = jnp.block([[dR2T, z3, z3],
+                   [-lie.matmat(dR1, hV2), eye3, z3],
+                   [-lie.matmat(dR1, hP2), dt2 * eye3, eye3]])
+    T = jnp.block([[eye3, z3, z3], [z3, dR1, z3], [z3, z3, dR1]])
+    eps = 1e-9 * jnp.eye(9, dtype=f32)
+    C1 = jnp.linalg.inv(info1 + eps)
+    C2 = jnp.linalg.inv(info2 + eps)
+    C = (jnp.einsum('ab,bc,dc->ad', A, C1, A, precision='highest')
+         + jnp.einsum('ab,bc,dc->ad', T, C2, T, precision='highest'))
+    info = jnp.linalg.inv(C + eps)
+    info = 0.5 * (info + info.T)
+    # random-walk variances add
+    rw = 1.0 / (1.0 / jnp.clip(rw1, 1e-12, None)
+                + 1.0 / jnp.clip(rw2, 1e-12, None))
+    return dt, dR, dV, dP, J, info, rw
+
+
+def merge_entry_into_next(ki: KfImu, k, nxt) -> KfImu:
+    """Merge preintegration entry `k` (prev(k) -> k) into entry `nxt`
+    (k -> nxt), producing entry nxt = prev(k) -> nxt; entry k invalidates.
+    Used when keyframe k is culled."""
+    J1 = {"Rg": ki.J_Rg[k], "Vg": ki.J_Vg[k], "Va": ki.J_Va[k],
+          "Pg": ki.J_Pg[k], "Pa": ki.J_Pa[k]}
+    J2 = {"Rg": ki.J_Rg[nxt], "Vg": ki.J_Vg[nxt], "Va": ki.J_Va[nxt],
+          "Pg": ki.J_Pg[nxt], "Pa": ki.J_Pa[nxt]}
+    dt, dR, dV, dP, J, info, rw = compose_preintegration(
+        ki.dt[k], ki.dR[k], ki.dV[k], ki.dP[k], J1, ki.info[k],
+        ki.rw_info[k],
+        ki.dt[nxt], ki.dR[nxt], ki.dV[nxt], ki.dP[nxt], J2, ki.info[nxt],
+        ki.rw_info[nxt])
+    return ki._replace(
+        valid=ki.valid.at[k].set(False),
+        prev=ki.prev.at[nxt].set(ki.prev[k]),
+        dt=ki.dt.at[nxt].set(dt),
+        dR=ki.dR.at[nxt].set(dR),
+        dV=ki.dV.at[nxt].set(dV),
+        dP=ki.dP.at[nxt].set(dP),
+        J_Rg=ki.J_Rg.at[nxt].set(J["Rg"]),
+        J_Vg=ki.J_Vg.at[nxt].set(J["Vg"]),
+        J_Va=ki.J_Va.at[nxt].set(J["Va"]),
+        J_Pg=ki.J_Pg.at[nxt].set(J["Pg"]),
+        J_Pa=ki.J_Pa.at[nxt].set(J["Pa"]),
+        info=ki.info.at[nxt].set(info),
+        rw_info=ki.rw_info.at[nxt].set(rw))
+
+
 def _corrected_deltas(ki: KfImu, bg, ba):
     """Bias-corrected preintegration deltas for every KF entry."""
     dbg = bg[None, :] - ki.bias0[:, :3]

@@ -145,3 +145,146 @@ def ba_solve_sharded(p: ba_mod.BAProblem, mesh: Mesh, n_iters: int = 10,
         iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
         None, length=n_iters)
     return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
+
+
+def ba_solve_pcg_sharded(p: ba_mod.BAProblem, mesh: Mesh,
+                         n_iters: int = 8, cg_iters: int = 40,
+                         lambda0: float = 1e-4):
+    """SCALABLE distributed global BA: observation-sharded implicit-Schur
+    PCG (the full-map GBA path, reference GlobalBundleAdjustemnt run in the
+    detached thread, LoopClosing.cc:2284).
+
+    Unlike `ba_solve_sharded` (dense B — fine for small windows, wrong
+    memory scaling for maps), nothing landmark x keyframe sized is ever
+    materialized: each device keeps only its observation shard's coupling
+    blocks Wpl (O_local, 6, 3), and every CG matvec is two local
+    gather+segment-sum passes plus two small psums ((L,3) and (K,6)).
+    Per-device memory is O(O/devices) for the bulk — keyframe/landmark
+    state (small) stays replicated; collectives ride ICI.
+    """
+    K = p.R.shape[0]
+    L = p.X.shape[0]
+    f32 = p.obs_uv.dtype
+    kf_opt_f = p.kf_opt.astype(f32)
+    lm_opt_f = p.lm_opt.astype(f32)
+
+    obs_spec = ba_mod.BAProblem(
+        R=P(), t=P(), X=P(),
+        obs_kf=P(OBS_AXIS), obs_lm=P(OBS_AXIS), obs_uv=P(OBS_AXIS),
+        obs_ur=P(OBS_AXIS), obs_info=P(OBS_AXIS), obs_mask=P(OBS_AXIS),
+        kf_opt=P(), lm_opt=P(), baseline=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(obs_spec, P(), P(), P(), P()),
+             out_specs=(P(), P(), P()))
+    def lm_step(p_local, R, t, X, lam):
+        r, Jp, Jl, w, _ = ba_mod._obs_terms(p_local, R, t, X, robust=True)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum('oia,o,oib->oab', Jp, w, Jp, precision='highest'),
+            p_local.obs_kf, num_segments=K)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum('oia,o,oib->oab', Jl, w, Jl, precision='highest'),
+            p_local.obs_lm, num_segments=L)
+        bp = -jax.ops.segment_sum(
+            jnp.einsum('oia,o,oi->oa', Jp, w, r, precision='highest'),
+            p_local.obs_kf, num_segments=K)
+        bl = -jax.ops.segment_sum(
+            jnp.einsum('oia,o,oi->oa', Jl, w, r, precision='highest'),
+            p_local.obs_lm, num_segments=L)
+        Hpp, Hll, bp, bl = jax.lax.psum((Hpp, Hll, bp, bl), OBS_AXIS)
+
+        # LOCAL coupling blocks — never reduced, never materialized dense
+        Wpl = jnp.einsum('oia,o,oib->oab', Jp, w, Jl, precision='highest') \
+            * (p_local.obs_mask * lm_opt_f[p_local.obs_lm])[:, None, None]
+
+        eyeK = jnp.eye(6, dtype=f32)
+        eyeL = jnp.eye(3, dtype=f32)
+        Hpp_d = Hpp + lam * eyeK * jnp.maximum(
+            jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeK
+        Hll_d = Hll + lam * eyeL * jnp.maximum(
+            jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeL
+        Hll_d = jnp.where(p.lm_opt[:, None, None], Hll_d,
+                          jnp.broadcast_to(eyeL, Hll_d.shape))
+        bl_m = bl * lm_opt_f[:, None]
+        Hll_inv = ba_mod._inv3x3(Hll_d)
+
+        def Btx(xp):
+            """B^T x: local partial + psum -> (L, 3) replicated."""
+            part = jax.ops.segment_sum(
+                jnp.einsum('oab,oa->ob', Wpl, xp[p_local.obs_kf],
+                           precision='highest'),
+                p_local.obs_lm, num_segments=L)
+            return jax.lax.psum(part, OBS_AXIS)
+
+        def By(y):
+            """B y: local partial + psum -> (K, 6) replicated."""
+            part = jax.ops.segment_sum(
+                jnp.einsum('oab,ob->oa', Wpl, y[p_local.obs_lm],
+                           precision='highest'),
+                p_local.obs_kf, num_segments=K)
+            return jax.lax.psum(part, OBS_AXIS)
+
+        def S_matvec(xp):
+            xp = xp * kf_opt_f[:, None]
+            y = jnp.einsum('lab,lb->la', Hll_inv, Btx(xp),
+                           precision='highest') * lm_opt_f[:, None]
+            Sx = jnp.einsum('kab,kb->ka', Hpp_d, xp,
+                            precision='highest') - By(y)
+            return Sx * kf_opt_f[:, None]
+
+        y0 = jnp.einsum('lab,lb->la', Hll_inv, bl_m, precision='highest')
+        rhs = (bp - By(y0)) * kf_opt_f[:, None]
+        Minv = ba_mod._inv6x6(Hpp_d)
+
+        def precond(v):
+            return jnp.einsum('kab,kb->ka', Minv, v,
+                              precision='highest') * kf_opt_f[:, None]
+
+        def cg_body(carry, _):
+            x, res, z, pdir, rz = carry
+            Ap = S_matvec(pdir)
+            pAp = jnp.sum(pdir * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * pdir
+            res = res - alpha * Ap
+            z = precond(res)
+            rz_new = jnp.sum(res * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            pdir = z + beta * pdir
+            return (x, res, z, pdir, rz_new), rz_new
+
+        x0 = jnp.zeros_like(rhs)
+        z0 = precond(rhs)
+        (dxp, _, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, rhs, z0, z0, jnp.sum(rhs * z0)), None,
+            length=cg_iters)
+        dxp = dxp * kf_opt_f[:, None]
+        dxl = jnp.einsum('lab,lb->la', Hll_inv, bl_m - Btx(dxp),
+                         precision='highest') * lm_opt_f[:, None]
+        dR, dt = lie.se3_exp(dxp)
+        R_new, t_new = lie.se3_mul(dR, dt, R, t)
+        return R_new, t_new, X + dxl
+
+    @partial(shard_map, mesh=mesh, in_specs=(obs_spec, P(), P(), P()),
+             out_specs=P())
+    def cost_fn(p_local, R, t, X):
+        r, _, _, w, _ = ba_mod._obs_terms(p_local, R, t, X, robust=True)
+        return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, axis=-1)), OBS_AXIS)
+
+    def iteration(carry, _):
+        R, t, X, lam, cost = carry
+        R_new, t_new, X_new = lm_step(p, R, t, X, lam)
+        new_cost = cost_fn(p, R_new, t_new, X_new)
+        accept = new_cost < cost
+        R, t, X = jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), (R_new, t_new, X_new),
+            (R, t, X))
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e4)
+        return (R, t, X, lam, cost), cost
+
+    cost0 = cost_fn(p, p.R, p.t, p.X)
+    (R, t, X, lam, cost), costs = jax.lax.scan(
+        iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
+        None, length=n_iters)
+    return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}

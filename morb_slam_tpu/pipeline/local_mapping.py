@@ -26,10 +26,13 @@ from ..optim import ba, vi_ba
 from ..solvers import triangulation
 
 # static capacities
-N_TRI_NEIGHBORS = 5       # covisible neighbors for triangulation
-                          # (reference nn=20 mono; 5 covers most new ground)
+N_TRI_NEIGHBORS = 3       # covisible neighbors for triangulation
+                          # (reference nn=20 mono; 3 covers most new ground
+                          # — each extra neighbor costs a full FxF Hamming
+                          # matrix in the per-keyframe budget)
 BA_WINDOW = 12            # optimized KFs in local BA
-BA_FIXED = 8              # frontier KFs held fixed
+BA_FIXED = 6              # frontier KFs held fixed
+BA_ITERS = 5              # LM iterations (accept/reject; converges in ~4)
 MAX_LOCAL_LM = 6144
 MAX_NEW_PER_PAIR = 384    # new landmarks accepted per neighbor pair
 
@@ -265,7 +268,7 @@ def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
         obs_ur=m.kf_feat_ur[win_idx].reshape(-1),
         baseline=cfg.baseline,
     )
-    Rn, tn, Xn, _ = ba.ba_solve(prob, n_iters=8)
+    Rn, tn, Xn, _ = ba.ba_solve(prob, n_iters=BA_ITERS)
 
     # write back
     m = m._replace(
@@ -462,20 +465,71 @@ def cull_keyframes(m: ms.MapState, kf_id):
     return m._replace(kf_valid=m.kf_valid & ~keep_cull)
 
 
+def _stats_window(m: ms.MapState, kf_id):
+    """Keyframe window whose landmarks need a stats refresh after mapping:
+    the BA window covers everything triangulation/fusion/BA touched."""
+    KW = min(BA_WINDOW + BA_FIXED, m.kf_valid.shape[0])
+    return ms.local_window(m, kf_id, KW, min_weight=10)
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def mapping_step(m: ms.MapState, kf_id, cam_params, cam_kind,
                  cfg: LocalMapConfig):
     """Full per-keyframe mapping pipeline (reference LocalMapping::Run body):
-    triangulate -> fuse -> cull points -> local BA -> cull KFs -> stats."""
+    triangulate -> fuse -> cull points -> local BA -> cull KFs -> stats.
+    Landmark statistics refresh WINDOWED to the touched keyframes (the
+    full-map refresh dominated the mapping budget)."""
     m = create_new_landmarks(m, kf_id, cfg)
-    m = ms.update_landmark_stats(m)
+    win_idx, win_ok = _stats_window(m, kf_id)
+    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
     m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
     m = cull_landmarks(m, kf_id)
     m = local_bundle_adjustment(m, kf_id, cfg)
     if not cfg.inertial:
         m = cull_keyframes(m, kf_id)
-    m = ms.update_landmark_stats(m)
+    win_idx, win_ok = _stats_window(m, kf_id)
+    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
     return m
+
+
+@jax.jit
+def cull_keyframes_inertial(m: ms.MapState, ki, kf_id):
+    """Redundant-keyframe culling for INERTIAL maps: the culled keyframe's
+    preintegration merges into its temporal successor so the IMU chain
+    stays exact (reference KeyFrameCulling + Preintegrated::MergePrevious,
+    LocalMapping.cc:886 + ImuTypes.cc:248). Culls at most ONE keyframe per
+    step; the merged span is bounded (reference: < 3 s)."""
+    from ..optim import inertial as inertial_mod
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    n_obs = ms.lm_obs_count(m)
+    n_obs_l = jnp.concatenate([n_obs, jnp.zeros(1, n_obs.dtype)])
+    slot_lm = jnp.where(m.kf_feat_valid & (m.kf_feat_lm >= 0),
+                        m.kf_feat_lm, L)
+    has = slot_lm < L
+    redundant = (n_obs_l[slot_lm] >= 4) & has
+    n_lm_kf = jnp.sum(has, axis=1)
+    frac = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_kf, 1, None)
+    cand, cand_ok = ms.local_window(m, kf_id, min(12, K), min_weight=10)
+    is_cand = jnp.zeros(K, bool).at[jnp.where(cand_ok, cand, 0)].set(
+        cand_ok, mode="drop")
+    # each culled KF must have a valid preintegration AND a successor edge
+    is_next_of = lambda k: (ki.prev == k) & ki.valid
+    cull = (is_cand & m.kf_valid & (frac > 0.9) & (n_lm_kf > 20)
+            & (jnp.arange(K) != 0) & (jnp.arange(K) != kf_id)
+            & ki.valid)
+    score = jnp.where(cull, frac, -1.0)
+    k = jnp.argmax(score)
+    nxt_mask = is_next_of(k)
+    nxt = jnp.argmax(nxt_mask)
+    can = ((score[k] > 0) & jnp.any(nxt_mask)
+           & (ki.dt[k] + ki.dt[nxt] < 3.0))
+    ki2 = inertial_mod.merge_entry_into_next(ki, k, nxt)
+    m2 = m._replace(kf_valid=m.kf_valid.at[k].set(False),
+                    kf_prev=m.kf_prev.at[nxt].set(m.kf_prev[k]))
+    m_out = jax.tree.map(lambda a, b: jnp.where(can, a, b), m2, m)
+    ki_out = jax.tree.map(lambda a, b: jnp.where(can, a, b), ki2, ki)
+    return m_out, ki_out
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
@@ -483,11 +537,15 @@ def mapping_step_inertial(m: ms.MapState, ki, kf_id, cam_params, cam_kind,
                           cfg: LocalMapConfig):
     """Per-keyframe mapping with LocalInertialBA in place of the visual
     local BA (reference LocalMapping::Run switching to LocalInertialBA once
-    the map is IMU-initialized, LocalMapping.cc:147-187)."""
+    the map is IMU-initialized, LocalMapping.cc:147-187). Returns
+    (map, kf_imu) — inertial culling merges preintegration entries."""
     m = create_new_landmarks(m, kf_id, cfg)
-    m = ms.update_landmark_stats(m)
+    win_idx, win_ok = _stats_window(m, kf_id)
+    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
     m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
     m = cull_landmarks(m, kf_id)
     m = local_inertial_ba(m, ki, kf_id, cfg)
-    m = ms.update_landmark_stats(m)
-    return m
+    m, ki = cull_keyframes_inertial(m, ki, kf_id)
+    win_idx, win_ok = _stats_window(m, kf_id)
+    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
+    return m, ki

@@ -60,8 +60,11 @@ class TrackerConfig:
     min_init_points: int = 50
     min_track_points: int = 10
     min_local_points: int = 30
-    kf_ref_ratio: float = 0.9
-    max_kf_interval: int = 30
+    # KF trigger fires when the frame's local-map inliers drop below this
+    # fraction of the inlier count at the LAST keyframe's insertion
+    # (reference NeedNewKeyFrame c2 with thRefRatio, Tracking.cc:2840)
+    kf_ref_ratio: float = 0.95
+    max_kf_interval: int = 12
     min_kf_interval: int = 3
     # Fraction of the measured inter-frame ROTATION carried into the
     # constant-velocity prediction. The reference predicts with the full
@@ -74,6 +77,10 @@ class TrackerConfig:
     baseline: float = 0.0      # stereo baseline (m); 0 = monocular
     th_depth: float = 35.0     # close-point gate in baseline units
     min_stereo_init_feats: int = 400
+    # failure detection (reference Tracking.cc:1713 timestamp-jump map
+    # spawn; LocalMapping.cc:159 bad-IMU forced reset)
+    ts_jump: float = 1.0           # seconds; > this starts a fresh map
+    bad_imu_timeout: float = 20.0  # s without IMU init -> forced reset
 
     @property
     def orb(self):
@@ -117,6 +124,9 @@ class TrackOutput(NamedTuple):
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def extract_frame(img, cam_params, cam_kind, cfg: TrackerConfig) -> FrameData:
     cam = cameras.Camera(cam_kind, cam_params)
+    # images may arrive uint8 (4x cheaper host->device transfer over a
+    # remote-chip link); all frontend math is f32
+    img = img.astype(jnp.float32)
     feats = frontend.extract_orb(img, cfg.orb)
     uv = cameras.undistort_points(cam, feats.uv)
     # normalized coords via the camera model (KB8 fisheye needs the Newton
@@ -230,6 +240,8 @@ def extract_stereo_frame(img_l, img_r, cam_params, cam_kind,
     Frame stereo ctor, Frame.cc:194 + ComputeStereoMatches)."""
     from ..ops import stereo as stereo_ops
     cam = cameras.Camera(cam_kind, cam_params)
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     feats_l = frontend.extract_orb(img_l, cfg.orb)
     feats_r = frontend.extract_orb(img_r, cfg.orb)
     sf = jnp.asarray([cfg.scale ** i for i in range(cfg.n_levels)],
@@ -255,6 +267,7 @@ def extract_rgbd_frame(img, depth_map, cam_params, cam_kind,
     Frame::ComputeStereoFromRGBD, Frame.cc)."""
     from ..ops import stereo as stereo_ops
     cam = cameras.Camera(cam_kind, cam_params)
+    img = img.astype(jnp.float32)
     feats = frontend.extract_orb(img, cfg.orb)
     sm = stereo_ops.depth_from_rgbd(feats, depth_map,
                                     bf=cfg.baseline * cfg.focal)
@@ -280,6 +293,8 @@ def extract_stereo_general_frame(img_l, img_r, cam_params, cam_kind,
     from ..ops import stereo as stereo_ops
     cam = cameras.Camera(cam_kind, cam_params)
     cam2 = cameras.Camera(cam2_kind, cam2_params)
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     feats_l = frontend.extract_orb(img_l, cfg.orb)
     feats_r = frontend.extract_orb(img_r, cfg.orb)
     bear_l = cameras.unproject_bearing(cam, feats_l.uv)
@@ -770,6 +785,10 @@ class Tracker:
         self.frames_lost = 0
         self._mapping_enabled = True
         self._kf_prev_override = None   # set by Atlas merge (chain splice)
+        # pipelined frame loop: decisions lag one frame so the device->host
+        # info fetch overlaps the next frame's compute (pure-visual only)
+        self.pipelined = True
+        self._pending = None
         # trajectory: list of (ts, map_gen, ref_kf, R_cr, t_cr) — pose
         # relative to a reference KF of a specific map generation
         # (reference mlRelativeFramePoses + mlpReferences, Tracking.h)
@@ -798,13 +817,14 @@ class Tracker:
         """One stereo pair -> (state, T_cw or None) (reference
         System::TrackStereo -> Tracking::GrabImageStereo)."""
         self.n_frames += 1
+        self._check_timestamp(ts)
         cfg = self.cfg
         if self.stereo_rig is not None:
             # non-rectified two-camera path (fisheye stereo)
             cam2, R_rl, t_rl = self.stereo_rig
             fr = extract_stereo_general_frame(
-                jnp.asarray(img_l, jnp.float32),
-                jnp.asarray(img_r, jnp.float32),
+                jnp.asarray(img_l),
+                jnp.asarray(img_r),
                 self.cam.params, self.cam.kind, cam2.params, cam2.kind,
                 R_rl, t_rl, cfg)
             if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
@@ -819,24 +839,25 @@ class Tracker:
                 return self.state, None
             return self._track_framedata(fr, ts)
         if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
-            fr = extract_stereo_frame(jnp.asarray(img_l, jnp.float32),
-                                      jnp.asarray(img_r, jnp.float32),
+            fr = extract_stereo_frame(jnp.asarray(img_l),
+                                      jnp.asarray(img_r),
                                       self.cam.params, self.cam.kind, cfg)
             if int(jnp.sum(fr.valid & (fr.depth > 0))) >= \
                     cfg.min_stereo_init_feats:
                 return self._init_from_depth(fr, ts)
             self.state = "NOT_INITIALIZED"
             return self.state, None
-        return self._track((jnp.asarray(img_l, jnp.float32),
-                            jnp.asarray(img_r, jnp.float32)), ts)
+        return self._track((jnp.asarray(img_l),
+                            jnp.asarray(img_r)), ts)
 
     def track_rgbd(self, img, depth_map, ts: float):
         """One RGB-D frame -> (state, T_cw or None) (reference
         System::TrackRGBD). `baseline` in the config sets the virtual
         stereo baseline (reference Camera.bf / fx)."""
         self.n_frames += 1
+        self._check_timestamp(ts)
         cfg = self.cfg
-        fr = extract_rgbd_frame(jnp.asarray(img, jnp.float32),
+        fr = extract_rgbd_frame(jnp.asarray(img),
                                 jnp.asarray(depth_map, jnp.float32),
                                 self.cam.params, self.cam.kind, cfg)
         if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
@@ -1014,6 +1035,14 @@ class Tracker:
             return
         elapsed = ts - self.ts_first_kf
         n_kf = self.n_kf_host
+        # bad-IMU detection (reference LocalMapping.cc:159-167 forced
+        # reset): if the staged initialization never succeeds within the
+        # timeout the IMU data is unusable for this map — reset and retry
+        if not self.imu_ready and elapsed > self.cfg.bad_imu_timeout:
+            self.bad_imu = True
+            self.flush()
+            self.reset_active_map()
+            return
         # (t_min, kf_min, priorG, priorA): InitializeIMU then VIBA1/VIBA2
         # then periodic refinements (reference mono ScaleRefinement runs at
         # 25/35/..75 s, LocalMapping.cc:263-272)
@@ -1099,18 +1128,37 @@ class Tracker:
             self.has_vel = False
         self.viba_stage += 1
 
+    def _check_timestamp(self, ts: float):
+        """Timestamp-discontinuity failure path (reference Tracking.cc:
+        1713-1722): a gap or a backwards jump makes the motion model and
+        IMU preintegration meaningless — a mature map is stashed in the
+        Atlas and a fresh one starts; a young map resets."""
+        last = getattr(self, "_last_seen_ts", None)
+        self._last_seen_ts = ts
+        if last is None or self.state not in ("OK", "RECENTLY_LOST"):
+            return
+        dt = ts - last
+        if dt < 0 or dt > self.cfg.ts_jump:
+            self.flush()
+            if self._mapping_enabled:
+                if self.n_kf_host < 10:
+                    self.reset_active_map()
+                else:
+                    self.create_map_in_atlas()
+
     def track_mono(self, img, ts: float):
         """One grayscale frame -> (state, T_cw or None)."""
         self.n_frames += 1
+        self._check_timestamp(ts)
         if self.state in ("NO_IMAGES", "NOT_INITIALIZED"):
-            fr = extract_frame(jnp.asarray(img, jnp.float32),
+            fr = extract_frame(jnp.asarray(img),
                                self.cam.params, self.cam.kind, self.cfg)
             self._try_initialize(fr, ts)
             pose = None
             if self.state == "OK":
                 pose = (self.R_last, self.t_last)
             return self.state, pose
-        return self._track(jnp.asarray(img, jnp.float32), ts)
+        return self._track(jnp.asarray(img), ts)
 
     # -- init -------------------------------------------------------------
 
@@ -1174,6 +1222,8 @@ class Tracker:
                 jnp.asarray(self._take_vel_trust()))
             st.set(out_tuple[4])
             _start_fetch(out_tuple[4])
+            if self._use_pipeline():
+                return self._track_pipelined(out_tuple, ts)
             return self._post_track(out_tuple, ts)
 
     def _track(self, img, ts: float):
@@ -1208,7 +1258,119 @@ class Tracker:
                     self.cam.params, self.cam.kind, cfg, trust)
             st.set(out_tuple[4])
             _start_fetch(out_tuple[4])
+            if self._use_pipeline():
+                return self._track_pipelined(out_tuple, ts)
             return self._post_track(out_tuple, ts)
+
+    # -- pipelined frame loop (reference pipeline parallelism P1/P3:
+    #    tracking never blocks on its own frame's results) ----------------
+
+    def _use_pipeline(self):
+        """Pipelined decisions are used for pure-visual tracking in the OK
+        state: the frame's device program is dispatched against the
+        previous frame's DEVICE-resident outputs, and the host decision
+        logic (state machine, keyframe insertion) runs one frame late on
+        the already-in-flight info vector — the device->host round trip
+        (~40 ms over a remote-chip link) overlaps the next frame's compute
+        instead of stalling the loop."""
+        return (self.pipelined and self.calib is None
+                and self.state == "OK")
+
+    def _track_pipelined(self, out_tuple, ts: float):
+        fr, out, vel_new, rel, info = out_tuple
+        prev = self._pending
+        self._pending = (out_tuple, ts)
+        # optimistic device-side state for the next dispatch (no sync):
+        # vetting happens when this frame's decision is made next call
+        self.m = out.m
+        self.last = fr
+        self.last_feat_lm = out.feat_lm
+        self.R_last, self.t_last = out.R, out.t
+        self.vel = vel_new
+        self.has_vel = True
+        self.frames_since_kf += 1
+        if prev is not None:
+            self._decide_pending(*prev)
+        return self.state, (out.R, out.t)
+
+    def flush(self):
+        """Resolve the in-flight frame's deferred decision (call at
+        sequence end or before reading the trajectory/map)."""
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._decide_pending(*prev)
+
+    def _decide_pending(self, out_tuple, ts: float):
+        """Deferred host decisions for an already-dispatched frame: state
+        machine, trajectory entry, keyframe insertion (the sync path's
+        _post_track, minus the per-frame fallback retries — recovery goes
+        through relocalization instead)."""
+        cfg = self.cfg
+        fr, out, vel_new, rel, info = out_tuple
+        info_h = np.asarray(info)
+        n_inl = int(info_h[0])
+        ref_kf_new = int(info_h[1])
+        if not bool(info_h[2] > 0.5):
+            self.has_vel = False
+        if n_inl < cfg.min_track_points:
+            # this frame was bad — the in-flight successor built on it is
+            # poisoned too: drop it and recover through relocalization
+            self.state = "RECENTLY_LOST"
+            self.has_vel = False
+            self.frames_lost += 1
+            self._pending = None
+            self.last = None
+            self.R_last = self.m.kf_R[self.ref_kf]
+            self.t_last = self.m.kf_t[self.ref_kf]
+            if self.frames_lost > 60:
+                self.state = "LOST"
+                if self._mapping_enabled:
+                    if self.n_kf_host < 10:
+                        self.reset_active_map()
+                    else:
+                        self.create_map_in_atlas()
+            return
+        self.frames_lost = 0
+        self.state = "OK"
+        self.ref_kf = ref_kf_new
+        # gauge corrections (keyframe BA deltas) applied since this frame
+        # was dispatched move its pose into the CURRENT map gauge; the
+        # trajectory-relative entry is then recomputed against the
+        # reference KF's CURRENT pose (otherwise every keyframe's BA
+        # correction leaks into the resolved trajectory as error)
+        corr = getattr(self, "_decide_corr", None)
+        if corr is not None:
+            out = out._replace(R=lie.matmat(out.R, corr[0]),
+                               t=lie.matvec(out.R, corr[1]) + out.t)
+            self._decide_corr = None
+        Rr, tr_ = self.m.kf_R[ref_kf_new], self.m.kf_t[ref_kf_new]
+        Rri, tri = lie.se3_inv(Rr, tr_)
+        rel = lie.se3_mul(out.R, out.t, Rri, tri)
+        self.trajectory.append((ts, self.map_gen, ref_kf_new, rel[0],
+                                rel[1]))
+        need = (self.frames_since_kf >= cfg.max_kf_interval or
+                (n_inl < cfg.kf_ref_ratio * max(self.ref_matches, 1)
+                 and self.frames_since_kf >= cfg.min_kf_interval)) \
+            and n_inl > 15
+        if need and self._mapping_enabled and \
+                self.n_kf_host < cfg.max_kf - 1:
+            loops_before = self.n_loops_closed
+            k = self.n_kf_host
+            self._insert_keyframe(fr, out, ts, refresh_anchors=False,
+                                  ref_inliers=n_inl)
+            if self.n_loops_closed != loops_before:
+                # a loop correction moved the whole map: the in-flight
+                # frame's results are stale — drop them and re-anchor
+                self._pending = None
+                self.last = None
+            else:
+                # the keyframe's association table was enriched by
+                # triangulation/fusion — feed it back as the stage-1
+                # matching anchor (the projection uses MAP geometry + the
+                # predicted pose, so pairing the KF's frame data with the
+                # newer optimistic pose stays consistent)
+                self.last = fr
+                self.last_feat_lm = self.m.kf_feat_lm[k]
 
     def _take_vel_trust(self):
         t = getattr(self, "_vel_trusted", False)
@@ -1325,10 +1487,11 @@ class Tracker:
             and n_inl > 15
         if need and self._mapping_enabled and \
                 self.n_kf_host < cfg.max_kf - 1:
-            self._insert_keyframe(fr, out, ts)
+            self._insert_keyframe(fr, out, ts, ref_inliers=n_inl)
         return self.state, (out.R, out.t)
 
-    def _insert_keyframe(self, fr: FrameData, out: TrackOutput, ts: float):
+    def _insert_keyframe(self, fr: FrameData, out: TrackOutput, ts: float,
+                         refresh_anchors: bool = True, ref_inliers=None):
         # host tracks the KF count itself: no device sync needed here — the
         # whole insert+mapping chain stays an async dispatch
         k = self.n_kf_host
@@ -1353,8 +1516,10 @@ class Tracker:
         with self.timers.stage("LMTotal") as st:
             if self.cfg.inertial and self.imu_ready and \
                     self.kf_imu is not None:
-                # LocalInertialBA window (reference LocalMapping.cc:173)
-                self.m = local_mapping.mapping_step_inertial(
+                # LocalInertialBA window (reference LocalMapping.cc:173);
+                # inertial KF culling merges preintegration entries so the
+                # chain stays exact
+                self.m, self.kf_imu = local_mapping.mapping_step_inertial(
                     self.m, self.kf_imu, k, self.cam.params, self.cam.kind,
                     self.cfg.lm_cfg)
             else:
@@ -1370,13 +1535,40 @@ class Tracker:
                                                                  bow):
                     self.n_loops_closed += 1
         self.ref_kf = k
-        self.last_feat_lm = self.m.kf_feat_lm[k]
-        # lazily-read device scalar; sync deferred to the next KF decision
-        self._ref_matches_dev = jnp.sum(self.last_feat_lm >= 0)
-        # mapping may have moved the KF: refresh last pose for the motion model
-        self.R_last = self.m.kf_R[k]
-        self.t_last = self.m.kf_t[k]
+        # KF-trigger baseline: the INSERTING frame's inlier count, so the
+        # ratio test compares like with like (inliers vs inliers — the KF's
+        # association count is systematically larger and made the trigger
+        # fire every min_kf_interval). Known on the host, no device sync.
+        if ref_inliers is not None:
+            self._ref_matches = int(ref_inliers)
+            self._ref_matches_dev = None
+        else:
+            self._ref_matches_dev = jnp.sum(self.m.kf_feat_lm[k] >= 0)
+            _start_fetch(self._ref_matches_dev)
         self.frames_since_kf = 0
+        if refresh_anchors:
+            self.last_feat_lm = self.m.kf_feat_lm[k]
+            # mapping may have moved the KF: refresh last pose for the
+            # motion model
+            self.R_last = self.m.kf_R[k]
+            self.t_last = self.m.kf_t[k]
+        else:
+            # pipelined mode: the optimistic anchor is a NEWER frame — ride
+            # the BA correction over to it by composing the keyframe's pose
+            # delta (T_last' = T_last * T_kf_old^-1 * T_kf_new), keeping
+            # the frame-to-KF relative pose invariant. Pure device math.
+            Ri, ti = lie.se3_inv(out.R, out.t)
+            dR, dt = lie.se3_mul(Ri, ti, self.m.kf_R[k], self.m.kf_t[k])
+            self.R_last, self.t_last = lie.se3_mul(
+                self.R_last, self.t_last, dR, dt)
+            # the same delta belongs to the IN-FLIGHT frame's pending
+            # decision (it dispatched before this insertion)
+            prev_corr = getattr(self, "_decide_corr", None)
+            if prev_corr is None:
+                self._decide_corr = (dR, dt)
+            else:
+                self._decide_corr = lie.se3_mul(prev_corr[0], prev_corr[1],
+                                                dR, dt)
 
     def _record_kf_imu(self, k: int, ts: float, prev: int = None):
         if self.calib is None:
@@ -1493,6 +1685,7 @@ class Tracker:
         self.frames_lost = 0
         self._ref_matches_dev = None
         self._ref_matches = 0
+        self._pending = None
 
     def reset_active_map(self):
         """Throw away the active map and re-initialize (reference
@@ -1543,6 +1736,7 @@ class Tracker:
         """(N, 3) camera centers in world frame, chaining relative poses
         through (possibly BA-updated) keyframe poses — the reference's
         SaveTrajectoryTUM scheme (System.cc:531)."""
+        self.flush()
         out = []
         for ts, gen, ref, R_cr, t_cr in self.trajectory:
             resolved = self.resolve_ref_pose(gen, ref)

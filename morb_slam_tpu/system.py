@@ -170,6 +170,7 @@ class System:
     # ---- output ----------------------------------------------------------
 
     def _frame_poses(self):
+        self.tracker.flush()
         out = []
         for ts, gen, ref, R_cr, t_cr in self.tracker.trajectory:
             resolved = self.tracker.resolve_ref_pose(gen, ref)

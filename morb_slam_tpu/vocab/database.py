@@ -51,3 +51,37 @@ def top_candidates(db: KeyframeDatabase, bow_q, n: int, exclude=None,
     s = query(db, bow_q, exclude)
     vals, ids = jax.lax.top_k(s, n)
     return ids, vals, vals > min_score
+
+
+def top_candidates_sharded(db: KeyframeDatabase, bow_q, n: int, mesh,
+                           exclude=None, min_score: float = 0.0,
+                           axis: str = "kf"):
+    """Multi-device place-recognition scoring: the (K, n_words) BoW matrix
+    is sharded by KEYFRAME BLOCKS across the mesh (the BASELINE's "keyframe
+    blocks sharded per host"); each device scores its block and the per-
+    device top-n merge via one all-gather of n scores+ids per device.
+
+    `mesh` is a 1-D Mesh whose axis is named `axis`. K must divide the
+    mesh size (pad the database capacity accordingly)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    K = db.bow.shape[0]
+    n_dev = mesh.devices.size
+    assert K % n_dev == 0, (K, n_dev)
+    exc = jnp.zeros(K, bool) if exclude is None else exclude
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P()),
+             out_specs=(P(axis), P(axis)))
+    def local_top(bow_block, valid_block, exc_block, q):
+        s = tree.l1_score(q, bow_block)
+        s = jnp.where(valid_block & ~exc_block, s, -1.0)
+        vals, ids = jax.lax.top_k(s, n)
+        blk = jax.lax.axis_index(axis)
+        return vals, ids + blk * (K // n_dev)
+
+    vals, ids = local_top(db.bow, db.valid, exc, bow_q)   # (n_dev*n,) each
+    best, sel = jax.lax.top_k(vals, n)
+    return ids[sel], best, best > min_score

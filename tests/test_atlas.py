@@ -165,6 +165,7 @@ def test_atlas_save_load_revisit_merge(tmp_path):
         img = world.render(R, t)
         tr.track_mono(jnp.asarray(img, jnp.float32), ts=float(i))
     assert len(tr.stash) == 1
+    tr.flush()                      # resolve the pipelined pending frame
     n_traj_before = len(tr.trajectory)
 
     path = str(tmp_path / "atlas")

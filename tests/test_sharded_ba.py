@@ -33,3 +33,36 @@ def test_sharded_converges():
     Rf, tf, Xf, info = sharded_ba.ba_solve_sharded(prob, mesh, n_iters=12)
     assert float(info["costs"][-1]) < 0.5 * float(info["cost0"])
     np.testing.assert_allclose(np.asarray(Rf), np.asarray(R), atol=3e-3)
+
+
+def test_pcg_sharded_matches_single_device():
+    """The scalable PCG GBA path: sharded implicit-Schur matvecs must
+    reproduce the single-device PCG solver."""
+    rng = np.random.default_rng(42)
+    prob, (R, t, X) = build_problem(rng)
+    prob = sharded_ba.pad_problem_for_mesh(prob, 8)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), (sharded_ba.OBS_AXIS,))
+    R1, t1, X1, info1 = ba.ba_solve_pcg(prob, n_iters=4, cg_iters=25)
+    R8, t8, X8, info8 = sharded_ba.ba_solve_pcg_sharded(
+        prob, mesh, n_iters=4, cg_iters=25)
+    np.testing.assert_allclose(np.asarray(R8), np.asarray(R1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), atol=2e-4)
+    assert float(info8["costs"][-1]) < 0.8 * float(info8["cost0"])
+
+
+def test_sharded_place_recognition():
+    """Keyframe-block-sharded BoW scoring equals the replicated query."""
+    import jax.numpy as jnp
+    from morb_slam_tpu.vocab import database as kfdb
+    rng = np.random.default_rng(7)
+    K, W = 64, 256
+    bow = jnp.asarray(rng.random((K, W)), jnp.float32)
+    bow = bow / jnp.sum(bow, axis=1, keepdims=True)
+    db = kfdb.KeyframeDatabase(bow=bow, valid=jnp.ones(K, bool))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("kf",))
+    q = bow[11]
+    ids_r, sc_r, ok_r = kfdb.top_candidates(db, q, 3)
+    ids_s, sc_s, ok_s = kfdb.top_candidates_sharded(db, q, 3, mesh)
+    assert int(ids_s[0]) == int(ids_r[0]) == 11
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_r),
+                               atol=1e-5)

@@ -214,3 +214,51 @@ def test_pose_inertial_optimization_refines_frame():
     H = np.asarray(res.H_marg)
     assert np.isfinite(H).all()
     assert np.all(np.linalg.eigvalsh(0.5 * (H + H.T)) > -1e-2)
+
+
+def test_preintegration_composition_matches_single_shot():
+    """Keyframe-cull chain merge: composing two preintegration blocks
+    analytically must match the single-shot integration over the
+    concatenated samples (deltas exactly; bias Jacobians to the documented
+    small-rotation approximation) — reference MergePrevious semantics."""
+    rng = np.random.default_rng(3)
+    N = 40
+    acc = jnp.asarray(rng.normal(0, 1.5, (N, 3)), jnp.float32) \
+        + jnp.asarray([0, 0, 9.81])
+    gyr = jnp.asarray(rng.normal(0, 0.2, (N, 3)), jnp.float32)
+    dts = jnp.full(N, 0.005, jnp.float32)
+    bias = jnp.zeros(6, jnp.float32)
+    full = imu.preintegrate(acc, gyr, dts, jnp.ones(N, bool), bias, CALIB)
+    p1 = imu.preintegrate(acc[:20], gyr[:20], dts[:20],
+                          jnp.ones(20, bool), bias, CALIB)
+    p2 = imu.preintegrate(acc[20:], gyr[20:], dts[20:],
+                          jnp.ones(20, bool), bias, CALIB)
+    ki = inertial.empty_kf_imu(3)
+    ki = inertial.set_kf_imu(ki, 1, p1, 0)
+    ki = inertial.set_kf_imu(ki, 2, p2, 1)
+    ki = inertial.merge_entry_into_next(ki, 1, 2)
+    assert not bool(ki.valid[1])
+    assert int(ki.prev[2]) == 0
+    np.testing.assert_allclose(float(ki.dt[2]), float(full.dt), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ki.dR[2]), np.asarray(full.dR),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ki.dV[2]), np.asarray(full.dV),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ki.dP[2]), np.asarray(full.dP),
+                               atol=1e-4)
+    # bias Jacobians: exact for Rg/Va, approx for Vg/Pg (cross terms)
+    np.testing.assert_allclose(np.asarray(ki.J_Rg[2]),
+                               np.asarray(full.J_Rg), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ki.J_Va[2]),
+                               np.asarray(full.J_Va), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ki.J_Vg[2]),
+                               np.asarray(full.J_Vg), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ki.J_Pg[2]),
+                               np.asarray(full.J_Pg), atol=5e-3)
+    # composed information stays positive definite and same order
+    info_full = np.linalg.inv(np.asarray(full.C[:9, :9])
+                              + 1e-9 * np.eye(9))
+    ev_c = np.linalg.eigvalsh(np.asarray(ki.info[2]))
+    ev_f = np.linalg.eigvalsh(info_full)
+    assert ev_c.min() > 0
+    assert 0.2 < ev_c.max() / ev_f.max() < 5.0
