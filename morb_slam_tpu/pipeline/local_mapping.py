@@ -436,21 +436,38 @@ def full_inertial_ba(m: ms.MapState, ki, last_kf, cfg: LocalMapConfig,
 
 
 @jax.jit
+def _redundant_slots(m: ms.MapState, n_min_others: int = 3,
+                     max_oct: int = 8):
+    """(K, F) bool — slot's landmark is observed by >= n_min_others OTHER
+    keyframes at the same or finer scale (reference KeyFrameCulling's
+    scaleLevel_i <= scaleLevel + 1 condition, LocalMapping.cc:906-928),
+    via a per-landmark octave histogram + cumulative count."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    slot_ok = m.kf_feat_valid & m.kf_valid[:, None] & (m.kf_feat_lm >= 0)
+    lm = jnp.where(slot_ok, m.kf_feat_lm, L)
+    oct_ = jnp.clip(m.kf_feat_octave, 0, max_oct - 1)
+    idx = lm * max_oct + jnp.where(slot_ok, oct_, 0)
+    hist = jax.ops.segment_sum(
+        slot_ok.reshape(-1).astype(jnp.int32), idx.reshape(-1),
+        num_segments=(L + 1) * max_oct)[:L * max_oct].reshape(L, max_oct)
+    cum = jnp.cumsum(hist, axis=1)           # obs with octave <= column
+    cum = jnp.concatenate([cum, jnp.zeros((1, max_oct), cum.dtype)])
+    j = jnp.clip(oct_ + 1, 0, max_oct - 1)
+    support = cum[lm, j] - 1                 # exclude the slot itself
+    return (support >= n_min_others) & slot_ok, slot_ok
+
+
 def cull_keyframes(m: ms.MapState, kf_id):
     """Redundant-keyframe culling (reference LocalMapping::KeyFrameCulling,
     LocalMapping.cc:886): a covisible KF is dropped when >= 90% of its
-    landmarks are observed by at least 3 other keyframes. The reference's
-    same-or-finer-scale condition is omitted (coarser approximation); the
-    temporal window bound (Nd=21) is inherited from the covisible-window
-    candidate set. KF0 and the newest KF are never culled."""
+    landmarks are observed by at least 3 other keyframes at the same or
+    finer scale; the temporal window bound (Nd=21) is inherited from the
+    covisible-window candidate set. KF0 and the newest KF are never
+    culled."""
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
-    n_obs = ms.lm_obs_count(m)                       # (L,)
-    n_obs_l = jnp.concatenate([n_obs, jnp.zeros(1, n_obs.dtype)])
-    slot_lm = jnp.where(
-        m.kf_feat_valid & (m.kf_feat_lm >= 0), m.kf_feat_lm, L)
-    has = slot_lm < L
-    redundant = (n_obs_l[slot_lm] >= 4) & has        # (K, F)
+    redundant, has = _redundant_slots(m)             # (K, F)
     n_lm_kf = jnp.sum(has, axis=1)
     frac = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_kf, 1, None)
     cand, cand_ok = ms.local_window(m, kf_id, min(12, K), min_weight=10)
@@ -502,12 +519,7 @@ def cull_keyframes_inertial(m: ms.MapState, ki, kf_id):
     from ..optim import inertial as inertial_mod
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
-    n_obs = ms.lm_obs_count(m)
-    n_obs_l = jnp.concatenate([n_obs, jnp.zeros(1, n_obs.dtype)])
-    slot_lm = jnp.where(m.kf_feat_valid & (m.kf_feat_lm >= 0),
-                        m.kf_feat_lm, L)
-    has = slot_lm < L
-    redundant = (n_obs_l[slot_lm] >= 4) & has
+    redundant, has = _redundant_slots(m)
     n_lm_kf = jnp.sum(has, axis=1)
     frac = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_kf, 1, None)
     cand, cand_ok = ms.local_window(m, kf_id, min(12, K), min_weight=10)

@@ -342,7 +342,8 @@ class LoopCloser:
         closed (tracker.m updated in place)."""
         import jax
         from ..vocab import database as kfdb
-        if tracker.db is None or kf_id < 12:
+        # reference gate: map must hold >= 12 keyframes (LoopClosing.cc:351)
+        if tracker.db is None or tracker.n_kf_host < 12:
             return False
         if kf_id - self.last_loop_kf < self.min_interval:
             return False
@@ -351,7 +352,10 @@ class LoopCloser:
         # DetectLoopCandidates uses covisibility; temporal gap adds safety)
         row = ms.covisibility_row(m, jnp.asarray(kf_id))
         K = row.shape[0]
-        exclude = (row > 0) | (jnp.arange(K) >= kf_id - 5)
+        # culled keyframes keep stale BoW rows in the database (the arrays
+        # are append-only) — exclude them, like the reference's erase-on-
+        # SetBadFlag keeps the inverted file clean
+        exclude = (row > 0) | (jnp.arange(K) >= kf_id - 5) | (~m.kf_valid)
         ids, scores, ok = kfdb.top_candidates(tracker.db, bow, 3,
                                               exclude=exclude,
                                               min_score=0.15)
@@ -459,6 +463,7 @@ class LoopCloser:
                     int(m.n_lm) + int(st.m.n_lm) > m.lm_valid.shape[0]:
                 continue
             ids, scores, ok = kfdb.top_candidates(st.db, bow, 3,
+                                                  exclude=~st.m.kf_valid,
                                                   min_score=0.15)
             # metric maps (stereo/RGB-D or IMU-initialized): the weld must
             # not rescale (reference bFixScale; merge scale gate 0.9-1.1

@@ -427,12 +427,24 @@ def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
     # every host decision scalar packed into ONE small vector so the frame
     # needs exactly one device->host fetch (each fresh fetch over the
     # device link costs a full round trip — SURVEY.md §7 #4 latency
-    # discipline): [n_inl, ref_kf, vel_finite, n_mm]
+    # discipline): [n_inl, ref_kf, vel_finite, n_mm, ref_tracked,
+    # n_close_tracked, n_close_untracked] — the last three feed the full
+    # NeedNewKeyFrame condition set (reference Tracking.cc:2840-2994:
+    # nRefMatches for c2's thRefRatio test, close-point starvation for c1c)
+    ref_lm2 = m.kf_feat_lm[out.ref_kf]
+    ref_tracked = jnp.sum((ref_lm2 >= 0) & m.kf_feat_valid[out.ref_kf] &
+                          m.lm_valid[jnp.clip(ref_lm2, 0, None)])
+    close_m = cfg.th_depth * cfg.baseline if cfg.baseline > 0 else 0.0
+    close = fr.valid & (fr.depth > 0) & (fr.depth < close_m)
+    tracked = out.feat_lm >= 0
     info = jnp.stack([
         out.n_inl.astype(jnp.float32),
         out.ref_kf.astype(jnp.float32),
         jnp.isfinite(vel_new[1]).all().astype(jnp.float32),
-        out.n_mm.astype(jnp.float32)])
+        out.n_mm.astype(jnp.float32),
+        ref_tracked.astype(jnp.float32),
+        jnp.sum(close & tracked).astype(jnp.float32),
+        jnp.sum(close & ~tracked).astype(jnp.float32)])
     return fr, out, vel_new, rel, info
 
 
@@ -834,7 +846,7 @@ class Tracker:
                 self.state = "NOT_INITIALIZED"
                 return self.state, None
             if self.last is None:
-                if self._try_relocalize(fr):
+                if self._recover_lost(fr):
                     return self.state, (self.R_last, self.t_last)
                 return self.state, None
             return self._track_framedata(fr, ts)
@@ -865,6 +877,10 @@ class Tracker:
                     cfg.min_stereo_init_feats:
                 return self._init_from_depth(fr, ts)
             self.state = "NOT_INITIALIZED"
+            return self.state, None
+        if self.last is None:
+            if self._recover_lost(fr):
+                return self.state, (self.R_last, self.t_last)
             return self.state, None
         return self._track_framedata(fr, ts)
 
@@ -1229,14 +1245,15 @@ class Tracker:
     def _track(self, img, ts: float):
         cfg = self.cfg
         if self.last is None:
-            # no tracking context (e.g. a freshly loaded atlas):
-            # relocalization is the only way in
+            # no tracking context (e.g. a freshly loaded atlas, or a
+            # pipelined frame declared bad): relocalize, or fall back to a
+            # brute-force reference-KF match (works without a vocabulary)
             if isinstance(img, tuple):
                 fr = extract_stereo_frame(img[0], img[1], self.cam.params,
                                           self.cam.kind, cfg)
             else:
                 fr = extract_frame(img, self.cam.params, self.cam.kind, cfg)
-            if self._try_relocalize(fr):
+            if self._recover_lost(fr):
                 return self.state, (self.R_last, self.t_last)
             return self.state, None
         vel_R, vel_t = self.vel
@@ -1348,10 +1365,7 @@ class Tracker:
         rel = lie.se3_mul(out.R, out.t, Rri, tri)
         self.trajectory.append((ts, self.map_gen, ref_kf_new, rel[0],
                                 rel[1]))
-        need = (self.frames_since_kf >= cfg.max_kf_interval or
-                (n_inl < cfg.kf_ref_ratio * max(self.ref_matches, 1)
-                 and self.frames_since_kf >= cfg.min_kf_interval)) \
-            and n_inl > 15
+        need = self._need_new_kf(n_inl, info_h, ts)
         if need and self._mapping_enabled and \
                 self.n_kf_host < cfg.max_kf - 1:
             loops_before = self.n_loops_closed
@@ -1371,6 +1385,41 @@ class Tracker:
                 # newer optimistic pose stays consistent)
                 self.last = fr
                 self.last_feat_lm = self.m.kf_feat_lm[k]
+
+    def _need_new_kf(self, n_inl: int, info_h, ts: float) -> bool:
+        """Full NeedNewKeyFrame condition set (reference Tracking.cc:
+        2840-2994). Mapping here is synchronous, so the "local mapper idle"
+        modulation maps to the min_kf_interval throttle (the mapper is
+        effectively busy for the frames an insert's device work overlaps).
+
+        c1a: too long since the last KF; c1b: min gap elapsed + mapper idle;
+        c1c (stereo/RGB-D): tracking starved of close points; c2: tracked
+        inliers dropped below thRefRatio of the reference KF's landmark
+        count; c3: inertial timer (reference inserts every 0.5 s once the
+        IMU is initialized); c4: inertial mono with weak visual tracking."""
+        cfg = self.cfg
+        ref_tracked = max(int(info_h[4]), 1)
+        close_trk = int(info_h[5])
+        close_untrk = int(info_h[6])
+        stereoish = cfg.baseline > 0
+        th_ratio = 0.75 if stereoish else 0.9
+        if self.n_kf_host <= 2:
+            th_ratio = 0.4 if stereoish else th_ratio
+        need_close = stereoish and close_trk < 100 and close_untrk > 70
+        c1a = self.frames_since_kf >= cfg.max_kf_interval
+        c1b = self.frames_since_kf >= cfg.min_kf_interval
+        c1c = stereoish and c1b and \
+            (n_inl < 0.25 * ref_tracked or need_close)
+        c2 = (n_inl < th_ratio * ref_tracked or need_close) and n_inl > 15
+        need = (c1a or c1b or c1c) and c2
+        if cfg.inertial and self.calib is not None and self.imu_ready \
+                and n_inl > 15:
+            last_ts = getattr(self, "_last_kf_ts", None)
+            if last_ts is not None and ts - last_ts >= 0.5:
+                need = True                      # c3 inertial timer
+            if not stereoish and c1b and 15 < n_inl < 75:
+                need = True                      # c4 weak mono-inertial
+        return need and n_inl > 15
 
     def _take_vel_trust(self):
         t = getattr(self, "_vel_trusted", False)
@@ -1478,13 +1527,10 @@ class Tracker:
         self.trajectory.append((ts, self.map_gen, self.ref_kf, rel[0],
                                 rel[1]))
 
-        # keyframe decision (reference NeedNewKeyFrame, simplified to the
-        # mono conditions c1a/c2 — mapping here is synchronous so the
-        # "mapper idle" condition is always true)
-        need = (self.frames_since_kf >= cfg.max_kf_interval or
-                (n_inl < cfg.kf_ref_ratio * max(self.ref_matches, 1)
-                 and self.frames_since_kf >= cfg.min_kf_interval)) \
-            and n_inl > 15
+        # keyframe decision (reference NeedNewKeyFrame, Tracking.cc:2840);
+        # info_h is the frame's fetched decision vector — the fallback
+        # paths above only changed n_inl, which is passed separately
+        need = self._need_new_kf(n_inl, info_h, ts)
         if need and self._mapping_enabled and \
                 self.n_kf_host < cfg.max_kf - 1:
             self._insert_keyframe(fr, out, ts, ref_inliers=n_inl)
@@ -1618,6 +1664,53 @@ class Tracker:
             self.voc, voctree.transform(self.voc, fr.desc, fr.valid))
         self.db = kfdb.add_keyframe(self.db, kf_id, bow)
         return bow
+
+    def _recover_lost(self, fr: FrameData):
+        """Recovery with no tracking context (`last is None`): BoW
+        relocalization when a vocabulary exists, then the vocabulary-less
+        fallback — brute-force descriptor match against the reference
+        keyframe (reference re-enters via TrackReferenceKeyFrame,
+        Tracking.cc:2535, before declaring the frame lost). Failing both,
+        the LOST protocol (Tracking.cc:1861-1880) resets a young map or
+        stashes a mature one in the Atlas."""
+        if self._try_relocalize(fr):
+            return True
+        if self.n_kf_host > 0:
+            # anchor candidates: the reference KF first, then the most
+            # recent valid keyframes — the reference KF itself may be the
+            # corrupted frame that caused the loss
+            valid = np.asarray(self.m.kf_valid[:self.n_kf_host])
+            cands = [self.ref_kf] + [
+                k for k in range(self.n_kf_host - 1, -1, -1)
+                if valid[k] and k != self.ref_kf][:3]
+            for k in cands[:4]:
+                R0 = self.m.kf_R[k]
+                t0 = self.m.kf_t[k]
+                R, t, lm, n = track_reference_kf(
+                    self.m, fr, jnp.asarray(k, jnp.int32), R0, t0,
+                    self.cfg)
+                if int(n) >= max(15, self.cfg.min_track_points):
+                    self.R_last, self.t_last = R, t
+                    self.last = fr
+                    self.last_feat_lm = lm
+                    self.ref_kf = k
+                    self.has_vel = False
+                    self.state = "OK"
+                    self.frames_lost = 0
+                    self._ref_matches = int(n)
+                    self._ref_matches_dev = None
+                    self.frames_since_kf = self.cfg.min_kf_interval
+                    return True
+        self.state = "RECENTLY_LOST"
+        self.frames_lost += 1
+        if self.frames_lost > 60:
+            self.state = "LOST"
+            if self._mapping_enabled:
+                if self.n_kf_host < 10:
+                    self.reset_active_map()
+                else:
+                    self.create_map_in_atlas()
+        return False
 
     def _try_relocalize(self, fr: FrameData):
         """BoW candidates + PnP RANSAC (reference Relocalization)."""

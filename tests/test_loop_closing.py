@@ -12,52 +12,139 @@ from synthetic_world import PlaneWorld, camera_path
 W, H, FX = 384, 288, 300.0
 
 
-def out_and_back(n_out=30, step=0.05):
-    fwd = camera_path(n_out, step=step)
-    back = fwd[-2::-1]
-    return fwd + list(back)
+def _drifted_revisit_map(s_drift=1.08, rot_drift=(0.0, 0.03, 0.01),
+                         t_drift=(0.25, -0.1, 0.15), seed=7):
+    """Build the canonical pre-loop-closure state directly (the synthetic
+    full-stack out-and-back cannot produce it: the rendered world never
+    leaves the frustum, so tracking continuously binds old landmarks and the
+    map stays covisibility-connected — no BoW-only loop exists, for the
+    reference either, LoopClosing.cc DetectNBestCandidates excludes the
+    connected group).
+
+    20 keyframes: KFs 0-9 map a corridor outbound with clean landmarks; KFs
+    10-19 revisit the same physical points but observe DUPLICATE landmarks
+    whose world positions (and the keyframe poses) carry an accumulated
+    Sim(3) drift — exactly the state odometry drift leaves before the loop
+    closer welds the two sides. Descriptors are shared per physical point."""
+    import jax as _jax
+    from morb_slam_tpu import lie
+    from morb_slam_tpu.mapstate import state as ms
+
+    rng = np.random.default_rng(seed)
+    NP_ = 400
+    F = 256
+    Xw = np.stack([np.linspace(0, 12, NP_),
+                   rng.uniform(-1.2, 1.2, NP_),
+                   rng.uniform(4.0, 6.0, NP_)], axis=1).astype(np.float32)
+    desc = rng.integers(0, 2 ** 32, (NP_, 8), dtype=np.uint32)
+
+    s_d = np.float32(s_drift)
+    R_d = np.asarray(lie.so3_exp(jnp.asarray(rot_drift, jnp.float32)))
+    t_d = np.asarray(t_drift, np.float32)
+    X_dup = (s_d * (Xw @ R_d.T) + t_d).astype(np.float32)
+
+    m = ms.empty_map(24, F, 1024)
+    m_np = {k: np.asarray(v).copy() for k, v in m._asdict().items()}
+    centers_true = {}
+    views = {}
+    for i in range(20):
+        late = i >= 10
+        cx = 0.35 * (i if not late else 19 - i)
+        c = np.array([cx * 1.2, 0.0, 0.0], np.float32)
+        centers_true[i] = c
+        vis = np.where(np.abs(Xw[:, 0] - c[0] - 1.2) < 2.2)[0][:F]
+        views[i] = vis
+        Xc = Xw[vis] - c                          # R_cw = I (true pose)
+        if late:
+            kf_R = R_d.T
+            kf_t = (-s_d * c - R_d.T @ t_d).astype(np.float32)
+            Xc = s_d * Xc                         # camera-frame consistency
+            lm_ids = 512 + vis
+        else:
+            kf_R = np.eye(3, dtype=np.float32)
+            kf_t = -c
+            lm_ids = vis
+        n = len(vis)
+        m_np["kf_R"][i] = kf_R
+        m_np["kf_t"][i] = kf_t
+        m_np["kf_valid"][i] = True
+        m_np["kf_ts"][i] = float(i)
+        m_np["kf_prev"][i] = i - 1
+        xn = Xc[:, :2] / Xc[:, 2:3]
+        m_np["kf_feat_xn"][i, :n] = xn
+        m_np["kf_feat_uv"][i, :n] = xn * FX + np.array([W / 2, H / 2],
+                                                       np.float32)
+        m_np["kf_feat_desc"][i, :n] = desc[vis]
+        m_np["kf_feat_valid"][i, :n] = True
+        m_np["kf_feat_lm"][i, :n] = lm_ids
+    seen_early = np.unique(np.concatenate([views[i] for i in range(10)]))
+    seen_late = np.unique(np.concatenate([views[i] for i in range(10, 20)]))
+    m_np["lm_pos"][seen_early] = Xw[seen_early]
+    m_np["lm_valid"][seen_early] = True
+    m_np["lm_desc"][seen_early] = desc[seen_early]
+    m_np["lm_pos"][512 + seen_late] = X_dup[seen_late]
+    m_np["lm_valid"][512 + seen_late] = True
+    m_np["lm_desc"][512 + seen_late] = desc[seen_late]
+    m_np["lm_normal"][:, 2] = -1.0
+    m_np["lm_dist_max"][:] = 12.0
+    for i in range(20):
+        ids = views[i] if i < 10 else 512 + views[i]
+        first = m_np["lm_ref_kf"][ids] < 0
+        m_np["lm_ref_kf"][ids[first]] = i
+        m_np["lm_first_kf"][ids[first]] = i
+    m_np["n_kf"] = np.asarray(20)
+    m_np["n_lm"] = np.asarray(912)
+    m = ms.MapState(**{k: jnp.asarray(v) for k, v in m_np.items()})
+    return m, desc, centers_true, (s_d, R_d, t_d)
 
 
-def test_loop_closes_on_revisit():
+def test_loop_closes_on_drifted_revisit():
+    """Full loop-closing path on the canonical drifted-revisit state:
+    database query -> Sim3 RANSAC -> guided SearchBySim3 + OptimizeSim3 ->
+    temporal consistency over two keyframes -> essential-graph correction +
+    SearchAndFuse + global BA (reference LoopClosing::Run end-to-end)."""
+    from morb_slam_tpu.pipeline import loop_closing as lc
+    from morb_slam_tpu.vocab import database as kfdb, tree as voctree
+
+    m, desc, centers_true, _ = _drifted_revisit_map()
+    voc = tree.train(desc, k=6, depth=3, iters=4)
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=256,
+                                 max_kf=24, max_lm=1024, n_levels=4)
     cam = cameras.pinhole(FX, FX, W / 2, H / 2)
-    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
-    world = PlaneWorld(K, W, H, seed=0)
-    seq = out_and_back(30)
-    ocfg = frontend.OrbConfig(n_features=300, n_levels=4)
-    descs = []
-    for R, t in seq[::6]:
-        f = frontend.extract_orb(jnp.asarray(world.render(R, t), jnp.float32),
-                                 ocfg)
-        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = tree.train(np.concatenate(descs), k=6, depth=3, iters=3)
-
-    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
-                                 max_kf=64, max_lm=8000, n_levels=4,
-                                 min_init_matches=60, min_init_points=40)
     tr = tracking.Tracker(cam, cfg, voc=voc)
-    states = []
-    for i, (R, t) in enumerate(seq):
-        img = world.render(R, t)
-        state, pose = tr.track_mono(jnp.asarray(img, jnp.float32),
-                                    ts=float(i))
-        states.append(state)
-    ok = sum(1 for s in states if s == "OK")
-    assert ok > 0.75 * len(states), (ok, len(states))
-    assert tr.n_loops_closed >= 1, "no loop closed on revisit"
+    tr.m = m
+    tr.n_kf_host = 20
+    bows = []
+    for i in range(20):
+        bow = voctree.bow_vector(
+            voc, voctree.transform(voc, m.kf_feat_desc[i],
+                                   m.kf_feat_valid[i]))
+        tr.db = kfdb.add_keyframe(tr.db, i, bow)
+        bows.append(bow)
 
-    # trajectory remains metrically consistent after correction
-    traj = tr.trajectory_world()
-    est, gt = [], []
-    for ts, p in traj:
-        i = int(round(ts))
-        R, t = seq[i]
-        gt.append(-(R.T @ t))
-        est.append(p)
-    rmse, s, _, _ = alignment.ate_rmse(
-        jnp.asarray(np.asarray(est), jnp.float32),
-        jnp.asarray(np.asarray(gt), jnp.float32), with_scale=True)
-    extent = 30 * 0.05
-    assert float(rmse) < 0.06 * extent, (float(rmse), extent)
+    # drift before: late-KF camera centers vs ground truth
+    def center_rmse():
+        errs = []
+        for i in range(10, 20):
+            R = np.asarray(tr.m.kf_R[i])
+            t = np.asarray(tr.m.kf_t[i])
+            errs.append(np.linalg.norm(-(R.T @ t) - centers_true[i]))
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    rmse_before = center_rmse()
+    assert rmse_before > 0.2, rmse_before     # the drift is material
+
+    closer = lc.LoopCloser(cfg)
+    fired = []
+    for kf_id in (18, 19):
+        fired.append(closer.maybe_close(tr, kf_id, bows[kf_id]))
+    assert not fired[0], "loop must not fire on the FIRST detection"
+    assert fired[1], "loop did not close on consecutive detections"
+
+    rmse_after = center_rmse()
+    assert rmse_after < 0.4 * rmse_before, (rmse_before, rmse_after)
+    assert np.isfinite(np.asarray(tr.m.kf_t)).all()
+    assert np.isfinite(np.asarray(tr.m.lm_pos)).all()
 
 
 def test_no_corruption_on_forward_path():
