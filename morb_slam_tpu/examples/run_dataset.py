@@ -173,5 +173,66 @@ def main(argv=None):
     return 0
 
 
+def evaluate_sequence(root: str, sensor: str = "mono",
+                      max_frames: int = None, vocab=None):
+    """Programmatic EuRoC evaluation (bench gate): built-in EuRoC cam0
+    calibration (the sequence ships sensor YAMLs, but the values are fixed
+    for the dataset — reference Examples/Monocular/EuRoC.yaml), full run,
+    ATE vs mav0 ground truth when present. Returns a result dict."""
+    import numpy as np
+    from .. import system as system_mod
+    from ..io import config, datasets
+
+    s = config.Settings()
+    s.cam1 = config.CameraSettings(
+        model="PinHole", fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        width=752, height=480,
+        dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05))
+    s.n_features = 1200
+    s.n_levels = 8
+    sensor_enum = {"mono": system_mod.Sensor.MONOCULAR,
+                   "stereo": system_mod.Sensor.STEREO}[sensor]
+    seq = datasets.load_euroc(root, stereo=sensor.startswith("stereo"),
+                              imu=False)
+    frames = seq.frames[:max_frames] if max_frames else seq.frames
+    slam = system_mod.System(s, sensor_enum, vocabulary=vocab)
+    t0 = time.perf_counter()
+    n_ok = 0
+    for fr in frames:
+        if sensor.startswith("stereo"):
+            st, _ = slam.track_stereo(fr.load_left(), fr.load_right(),
+                                      fr.ts)
+        else:
+            st, _ = slam.track_monocular(fr.load_left(), fr.ts)
+        n_ok += st == "OK"
+    fps = len(frames) / (time.perf_counter() - t0)
+    result = {"frames": len(frames), "ok_frames": int(n_ok),
+              "fps": round(fps, 2),
+              "keyframes": int(slam.tracker.n_kf_host)}
+    import os
+    gt_csv = os.path.join(root, "mav0", "state_groundtruth_estimate0",
+                          "data.csv")
+    if os.path.isfile(gt_csv):
+        import jax.numpy as jnp
+        from .. import alignment
+        gt_raw = np.loadtxt(gt_csv, delimiter=",", usecols=(0, 1, 2, 3),
+                            skiprows=1)
+        gt_ts = gt_raw[:, 0] * 1e-9
+        traj = slam.tracker.trajectory_world()
+        est, gtp = [], []
+        for ts, p in traj:
+            j = int(np.argmin(np.abs(gt_ts - ts)))
+            if abs(gt_ts[j] - ts) < 0.02:
+                est.append(p)
+                gtp.append(gt_raw[j, 1:4])
+        if len(est) > 10:
+            rmse, _, _, _ = alignment.ate_rmse(
+                jnp.asarray(np.asarray(est), jnp.float32),
+                jnp.asarray(np.asarray(gtp), jnp.float32),
+                with_scale=sensor == "mono")
+            result["ate_rmse"] = round(float(rmse), 5)
+    return result
+
+
 if __name__ == "__main__":
     sys.exit(main())

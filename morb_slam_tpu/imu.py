@@ -75,10 +75,17 @@ class Preintegrated(NamedTuple):
     avg_w: jnp.ndarray
 
 
+@jax.jit
 def preintegrate(acc, gyro, dts, mask, bias, calib: ImuCalib,
                  init: "Preintegrated" = None) -> Preintegrated:
     """Integrate a masked batch of IMU samples (reference
     Preintegrated::IntegrateNewMeasurement, ImuTypes.cc:184).
+
+    Jitted at the TOP level: called eagerly, the scan body closes over
+    freshly-materialized constant arrays and the eager-scan cache misses
+    on every call — measured 1.7 s PER KEYFRAME of silent recompilation
+    on the real chip (the round-3 0.44 fps flagship number was mostly
+    this).
 
     Args:
       acc, gyro: (N, 3) raw measurements (body frame).

@@ -179,6 +179,12 @@ def load_atlas(path: str, tracker, voc=None):
             for i in range(len(ts))]
     tracker.map_gen = info["map_gen"]
     tracker.n_kf_host = info["n_kf_host"]
+    # newest KF by timestamp (slot order is not temporal once slots recycle)
+    if tracker.n_kf_host > 0:
+        valid_ts = np.where(np.asarray(tracker.m.kf_valid),
+                            np.asarray(tracker.m.kf_ts), -np.inf)
+        tracker.last_kf_id = int(np.argmax(valid_ts))
+        tracker.kf_seq = tracker.n_kf_host
     tracker.bias = jnp.asarray(data["tracker.bias"])
     tracker.imu_ready = info.get("imu_ready", False)
     tracker.viba_stage = info.get("viba_stage", 0)

@@ -26,10 +26,12 @@ from ..optim import ba, vi_ba
 from ..solvers import triangulation
 
 # static capacities
-N_TRI_NEIGHBORS = 3       # covisible neighbors for triangulation
-                          # (reference nn=20 mono; 3 covers most new ground
-                          # — each extra neighbor costs a full FxF Hamming
-                          # matrix in the per-keyframe budget)
+N_TRI_NEIGHBORS = 8       # covisible neighbors for triangulation
+                          # (reference nn=10/20/30, LocalMapping.cc:417-425;
+                          # the FxF popcount Hamming matrix per neighbor is
+                          # MXU-friendly batch work, and the free-feature
+                          # mask shrinks each pass so later neighbors add
+                          # only unseen ground)
 BA_WINDOW = 12            # optimized KFs in local BA
 BA_FIXED = 6              # frontier KFs held fixed
 BA_ITERS = 5              # LM iterations (accept/reject; converges in ~4)
@@ -72,6 +74,18 @@ def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig):
     neigh_idx, neigh_ok = ms.local_window(m, kf_id, n_neigh + 1,
                                           min_weight=10)
     neigh_idx, neigh_ok = neigh_idx[1:], neigh_ok[1:]   # drop self
+    # always include the temporal-chain predecessor (reference adds it to
+    # the covisible neighbor set, LocalMapping.cc:417-425) — right after
+    # initialization the covisibility graph is too thin to surface it
+    prev = m.kf_prev[kf_id]
+    prev_ok = (prev >= 0) & m.kf_valid[jnp.clip(prev, 0, None)] & \
+        jnp.all(neigh_idx != prev)
+    neigh_idx = jnp.where(jnp.arange(n_neigh) == n_neigh - 1,
+                          jnp.where(prev_ok, jnp.clip(prev, 0, None),
+                                    neigh_idx),
+                          neigh_idx)
+    neigh_ok = jnp.where(jnp.arange(n_neigh) == n_neigh - 1,
+                         neigh_ok | prev_ok, neigh_ok)
 
     xn1 = m.kf_feat_xn[kf_id]
     desc1 = m.kf_feat_desc[kf_id]
@@ -202,13 +216,18 @@ def fuse_in_neighbors(m: ms.MapState, kf_id, cam_params, cam_kind,
 def cull_landmarks(m: ms.MapState, kf_id):
     """Recent-landmark culling (reference LocalMapping::MapPointCulling,
     LocalMapping.cc:368): found/visible ratio < 0.25, or young landmarks
-    that failed to accumulate observations."""
+    that failed to accumulate observations. Both tests apply ONLY to
+    recently created landmarks (reference mlpRecentAddedMapPoints — a
+    point that survives its probation is kept until BA/fuse detaches it):
+    applying the ratio test map-wide erased everything behind a sweeping
+    camera, destroying loop-closure and relocalization ground."""
     n_obs = ms.lm_obs_count(m)
     age = kf_id - m.lm_first_kf
+    recent = (age >= 0) & (age <= 3)
     ratio = m.lm_found.astype(jnp.float32) / jnp.clip(
         m.lm_visible.astype(jnp.float32), 1.0, None)
-    seen_enough = jnp.where(age >= 2, n_obs >= 3, True)
-    ratio_ok = jnp.where(m.lm_visible > 4, ratio > 0.25, True)
+    seen_enough = jnp.where(recent & (age >= 2), n_obs >= 3, True)
+    ratio_ok = jnp.where(recent & (m.lm_visible > 4), ratio > 0.25, True)
     keep = m.lm_valid & seen_enough & ratio_ok & (n_obs >= 1)
     L = m.lm_valid.shape[0]
     dropped_lookup = jnp.concatenate([~keep, jnp.asarray([False])])
@@ -435,7 +454,7 @@ def full_inertial_ba(m: ms.MapState, ki, last_kf, cfg: LocalMapConfig,
     return m, info["costs"]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n_min_others", "max_oct"))
 def _redundant_slots(m: ms.MapState, n_min_others: int = 3,
                      max_oct: int = 8):
     """(K, F) bool — slot's landmark is observed by >= n_min_others OTHER
@@ -479,7 +498,16 @@ def cull_keyframes(m: ms.MapState, kf_id):
     score = jnp.where(cull, frac, -1.0)
     _, top2 = jax.lax.top_k(score, 2)
     keep_cull = jnp.zeros(K, bool).at[top2].set(score[top2] > 0)
-    return m._replace(kf_valid=m.kf_valid & ~keep_cull)
+    # splice the temporal chain around every culled KF so no kf_prev edge
+    # dangles into a dead (and later recyclable) slot — the reference's
+    # SetBadFlag reparents spanning-tree children the same way. Two
+    # passes cover a chain of two culled keyframes.
+    prev = m.kf_prev
+    for _ in range(2):
+        p = jnp.clip(prev, 0, K - 1)
+        dangling = (prev >= 0) & keep_cull[p]
+        prev = jnp.where(dangling, m.kf_prev[p], prev)
+    return m._replace(kf_valid=m.kf_valid & ~keep_cull, kf_prev=prev)
 
 
 def _stats_window(m: ms.MapState, kf_id):

@@ -27,7 +27,15 @@ from ..solvers import sim3 as sim3_solver
 MIN_SIM3_INLIERS = 20
 MIN_ACCEPT_MATCHES = 35
 COVIS_EDGE_MIN = 30        # covisibility weight for pose-graph edges
-COVIS_EDGES_PER_KF = 5
+                           # (reference: full covisibility set >= 100,
+                           # Optimizer.cc:1545 — our synthetic feature
+                           # budget is smaller, so a lower floor with a
+                           # top-k cap covers the same structure)
+COVIS_EDGES_PER_KF = 16
+MAX_PAST_LOOP_EDGES = 8    # persisted loop/merge edges (reference keeps
+                           # every past loop edge in the essential graph,
+                           # Optimizer.cc:1443-1736)
+MAX_LOCAL_LM_FUSE = 4096   # loop-side landmark pool for SearchAndFuse
 
 
 @partial(jax.jit, static_argnames=("cfg", "fix_scale"))
@@ -185,40 +193,64 @@ def guided_sim3_verify(m: ms.MapState, kf_id, cand, s0, R0, t0, key, cfg):
 def search_and_fuse(m: ms.MapState, kf_id, cand, cam_params, cam_kind, cfg):
     """Post-correction landmark welding (reference LoopClosing::SearchAndFuse,
     LoopClosing.cc:2152): after the essential-graph correction the loop
-    region and the current region coincide — project the candidate side's
-    landmarks into the current KF and bind them to free feature slots so the
-    two sides share observations (the covisibility weld)."""
-    from . import local_mapping as lm_mod
+    region and the current region coincide — project the candidate SIDE's
+    landmarks (the candidate's covisible neighborhood) into the current
+    side's covisible WINDOW and bind them, REPLACING current-side
+    duplicates (the reference's MapPoint::Replace). The replacement is
+    what makes the weld survive the post-loop GBA: a free-slots-only,
+    single-KF weld left the two sides nearly unconstrained and GBA
+    relaxed the map straight back to its drifted shape (measured:
+    circuit gap 0.78 -> 0.14 after the graph, back to 0.59 after GBA)."""
     from .. import cameras
     cam = cameras.Camera(cam_kind, cam_params)
+    K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
-    lm2 = m.kf_feat_lm[cand]
-    ok2 = (lm2 >= 0) & m.kf_feat_valid[cand] & \
-        m.lm_valid[jnp.clip(lm2, 0, None)]
-    ids = jnp.clip(lm2, 0, None)
-    dst_lm = m.kf_feat_lm[kf_id]
-    seen = jnp.zeros(L + 1, bool).at[
-        jnp.where(dst_lm >= 0, dst_lm, L)].set(True)
-    ok2 &= ~seen[ids]
-    res = matching.search_by_projection(
-        m.lm_pos[ids], m.lm_normal[ids], m.lm_dist_max[ids],
-        m.lm_desc[ids], ok2,
-        m.kf_R[kf_id], m.kf_t[kf_id],
-        lambda Xc: cameras.project(cam, Xc),
-        m.kf_feat_uv[kf_id], m.kf_feat_octave[kf_id],
-        m.kf_feat_desc[kf_id],
-        m.kf_feat_valid[kf_id] & (dst_lm < 0),
-        (10000, 10000), radius_px=4.0, scale=cfg.scale,
-        n_levels=cfg.n_levels, max_dist_th=50, ratio=1.0)
-    new_lm = jnp.where(res.feat_lm >= 0,
-                       ids[jnp.clip(res.feat_lm, 0, None)], dst_lm)
-    m = m._replace(kf_feat_lm=m.kf_feat_lm.at[kf_id].set(new_lm))
+
+    # loop-side landmark pool: the candidate's covisible neighborhood
+    src_idx, src_ok = ms.local_window(m, cand, min(6, K), min_weight=10)
+    src_slots = m.kf_feat_lm[src_idx]                       # (S, F)
+    src_valid = (src_slots >= 0) & m.kf_feat_valid[src_idx] & \
+        src_ok[:, None] & m.lm_valid[jnp.clip(src_slots, 0, None)]
+    pool = jnp.where(src_valid, src_slots, L).reshape(-1)
+    in_pool = jnp.zeros(L + 1, bool).at[pool].set(True)[:L] & m.lm_valid
+    n_pool = min(MAX_LOCAL_LM_FUSE, L)
+    _, ids = jax.lax.top_k(in_pool.astype(jnp.int32), n_pool)
+    pool_ok = in_pool[ids]
+
+    # current-side window to weld into
+    dst_idx, dst_ok = ms.local_window(m, kf_id, min(8, K), min_weight=10)
+
+    def weld_into(m, dst_kf, ok):
+        dst_lm = m.kf_feat_lm[dst_kf]
+        seen = jnp.zeros(L + 1, bool).at[
+            jnp.where(dst_lm >= 0, dst_lm, L)].set(True)
+        cand_ok = pool_ok & ~seen[ids] & ok
+        res = matching.search_by_projection(
+            m.lm_pos[ids], m.lm_normal[ids], m.lm_dist_max[ids],
+            m.lm_desc[ids], cand_ok,
+            m.kf_R[dst_kf], m.kf_t[dst_kf],
+            lambda Xc: cameras.project(cam, Xc),
+            m.kf_feat_uv[dst_kf], m.kf_feat_octave[dst_kf],
+            m.kf_feat_desc[dst_kf],
+            m.kf_feat_valid[dst_kf],
+            (10000, 10000), radius_px=4.0, scale=cfg.scale,
+            n_levels=cfg.n_levels, max_dist_th=50, ratio=1.0)
+        # bind free slots AND replace current-side duplicates with the
+        # loop-side landmark (reference pRep->Replace(pLoopMP))
+        new_lm = jnp.where(res.feat_lm >= 0,
+                           ids[jnp.clip(res.feat_lm, 0, None)], dst_lm)
+        return m._replace(
+            kf_feat_lm=m.kf_feat_lm.at[dst_kf].set(new_lm))
+
+    for i in range(dst_idx.shape[0]):
+        m = weld_into(m, dst_idx[i], dst_ok[i])
     return ms.update_landmark_stats(m)
 
 
 @partial(jax.jit, static_argnames=("four_dof",))
 def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
-                 four_dof: bool = False):
+                 four_dof: bool = False, past_i=None, past_j=None,
+                 past_ok=None):
     """Essential-graph correction (reference CorrectLoop +
     OptimizeEssentialGraph): the loop edge pins kf_id against cand; poses
     redistribute accumulated drift; landmarks follow their reference KF's
@@ -235,18 +267,30 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
     covis_w, covis_j = jax.lax.top_k(W, COVIS_EDGES_PER_KF)    # (K, C)
     covis_ok = (covis_w >= COVIS_EDGE_MIN) & m.kf_valid[:, None] & \
         m.kf_valid[covis_j]
+    # past loop/merge edges keep previously-welded regions rigid during
+    # this correction (reference inserts every historical loop edge,
+    # Optimizer.cc:1443-1736); their measurements are taken from the
+    # current (post-previous-correction) poses below
+    if past_i is None:
+        past_i = jnp.zeros(MAX_PAST_LOOP_EDGES, jnp.int32)
+        past_j = jnp.zeros(MAX_PAST_LOOP_EDGES, jnp.int32)
+        past_ok = jnp.zeros(MAX_PAST_LOOP_EDGES, bool)
+    past_ok = past_ok & m.kf_valid[past_i] & m.kf_valid[past_j]
     # avoid duplicating chain edges; fine to double-count mild weights
     e_i = jnp.concatenate([
         jnp.arange(K, dtype=jnp.int32),
         jnp.repeat(jnp.arange(K, dtype=jnp.int32), COVIS_EDGES_PER_KF),
+        past_i.astype(jnp.int32),
         jnp.asarray([kf_id], jnp.int32)])
     e_j = jnp.concatenate([
         jnp.clip(prev, 0, None),
         covis_j.reshape(-1),
+        past_j.astype(jnp.int32),
         jnp.asarray([cand], jnp.int32)])
     e_w = jnp.concatenate([
         chain_ok.astype(f32),
         covis_ok.reshape(-1).astype(f32) * 0.5,
+        past_ok.astype(f32) * 10.0,
         jnp.asarray([20.0], f32)])
 
     # measured relative transforms from current poses (drift-free locally)
@@ -280,9 +324,16 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
     # keyframe pose: T_cw = (R_new, t_new / s_new) (reference: converts the
     # corrected Sim3 back to SE3 by dividing translation by scale)
     t_se3 = t_new / s_new[:, None]
+    # rotate world-frame keyframe velocities by each KF's orientation
+    # correction (reference LoopClosing.cc:1120-1126: SetVelocity(Rcor*Vw)
+    # — stale velocities would feed the next preintegration edges in a
+    # now-wrong world frame and the VI optimizer would fight them)
+    R_cor = lie.matmat(jnp.swapaxes(R_new, -1, -2), m.kf_R)
+    v_new = lie.matvec(R_cor, m.kf_v) / s_new[:, None]
     m = m._replace(
         kf_R=jnp.where(m.kf_valid[:, None, None], R_new, m.kf_R),
         kf_t=jnp.where(m.kf_valid[:, None], t_se3, m.kf_t),
+        kf_v=jnp.where(m.kf_valid[:, None], v_new, m.kf_v),
         lm_pos=lm_pos)
     return m, costs
 
@@ -336,6 +387,10 @@ class LoopCloser:
         self._pending_cand = -1
         self._pending_kf = -1
         self._pending_count = 0
+        # historical loop edges: (kf slot, cand slot) pairs kept in every
+        # later essential-graph solve (reference Optimizer.cc:1443-1736
+        # inserts all past loop/merge edges)
+        self.past_loop_edges = []
 
     def maybe_close(self, tracker, kf_id: int, bow):
         """Called after each keyframe insertion; returns True if a loop was
@@ -345,7 +400,10 @@ class LoopCloser:
         # reference gate: map must hold >= 12 keyframes (LoopClosing.cc:351)
         if tracker.db is None or tracker.n_kf_host < 12:
             return False
-        if kf_id - self.last_loop_kf < self.min_interval:
+        # intervals measured in INSERTION SEQUENCE, not slot id (keyframe
+        # slots recycle once the map hits capacity)
+        seq = getattr(tracker, "kf_seq", kf_id)
+        if seq - self.last_loop_kf < self.min_interval:
             return False
         m = tracker.m
         # exclude the covisible group + temporal neighbors (reference
@@ -355,7 +413,11 @@ class LoopCloser:
         # culled keyframes keep stale BoW rows in the database (the arrays
         # are append-only) — exclude them, like the reference's erase-on-
         # SetBadFlag keeps the inverted file clean
-        exclude = (row > 0) | (jnp.arange(K) >= kf_id - 5) | (~m.kf_valid)
+        # temporal-neighbor exclusion by TIMESTAMP (keyframe slots recycle
+        # once the map hits capacity, so slot order is not temporal order)
+        ts_v = jnp.where(m.kf_valid, m.kf_ts, -jnp.inf)
+        thr = jax.lax.top_k(ts_v, min(6, K))[0][-1]
+        exclude = (row > 0) | (m.kf_ts >= thr) | (~m.kf_valid)
         ids, scores, ok = kfdb.top_candidates(tracker.db, bow, 3,
                                               exclude=exclude,
                                               min_score=0.15)
@@ -385,7 +447,7 @@ class LoopCloser:
             break
         if hit is None:
             # a broken consecutive-detection streak resets the counter
-            if kf_id - self._pending_kf > 2:
+            if seq - self._pending_kf > 2:
                 self._pending_count = 0
                 self._pending_cand = -1
             return False
@@ -393,12 +455,12 @@ class LoopCloser:
         # temporal consistency: this detection must agree (covisible
         # candidate region) with the previous keyframe's detection
         consistent = (self._pending_cand >= 0
-                      and kf_id - self._pending_kf <= 2
+                      and seq - self._pending_kf <= 2
                       and (cand == self._pending_cand or int(
                           ms.covisibility_row(m, jnp.asarray(cand))
                           [self._pending_cand]) > 0))
         self._pending_cand = cand
-        self._pending_kf = kf_id
+        self._pending_kf = seq
         self._pending_count = self._pending_count + 1 if consistent else 1
         if self._pending_count < self.temporal_hits:
             return False
@@ -416,25 +478,44 @@ class LoopCloser:
                 return False
         four_dof = bool(getattr(self.cfg, "inertial", False)) and \
             bool(getattr(tracker, "imu_ready", False))
+        pi = np.zeros(MAX_PAST_LOOP_EDGES, np.int32)
+        pj = np.zeros(MAX_PAST_LOOP_EDGES, np.int32)
+        pok = np.zeros(MAX_PAST_LOOP_EDGES, bool)
+        for n_e, (a, b) in enumerate(
+                self.past_loop_edges[-MAX_PAST_LOOP_EDGES:]):
+            pi[n_e], pj[n_e], pok[n_e] = a, b, True
         tracker.m, costs = correct_loop(
             m, jnp.asarray(kf_id), jnp.asarray(cand), s, R, t,
-            four_dof=four_dof)
+            four_dof=four_dof, past_i=jnp.asarray(pi),
+            past_j=jnp.asarray(pj), past_ok=jnp.asarray(pok))
+        self.past_loop_edges.append((kf_id, cand))
         # weld the two sides' landmarks (reference SearchAndFuse)
         tracker.m = search_and_fuse(
             tracker.m, jnp.asarray(kf_id), jnp.asarray(cand),
             tracker.cam.params, tracker.cam.kind, self.cfg)
         # full-map refinement, the reference's detached GBA thread
-        # (RunGlobalBundleAdjustment); jit dispatch is async so the
-        # host continues immediately
-        from . import global_ba
-        tracker.m, _ = global_ba.global_bundle_adjustment(
-            tracker.m, self.cfg.lm_cfg if hasattr(self.cfg, "lm_cfg")
-            else self.cfg)
+        # (RunGlobalBundleAdjustment); jit dispatch is async so the host
+        # continues immediately. Once the IMU is initialized the reference
+        # runs FullInertialBA instead of visual GBA (LoopClosing.cc:
+        # 2300-2305) — visual GBA would ignore the preintegration chain
+        # and can bend the gravity-aligned gauge.
+        from . import local_mapping
+        lm_cfg = self.cfg.lm_cfg if hasattr(self.cfg, "lm_cfg") \
+            else self.cfg
+        if bool(getattr(tracker, "imu_ready", False)) and \
+                tracker.kf_imu is not None:
+            tracker.m, _ = local_mapping.full_inertial_ba(
+                tracker.m, tracker.kf_imu, jnp.asarray(kf_id, jnp.int32),
+                lm_cfg, window=32, prior_gyro=1.0, prior_acc=1.0)
+        else:
+            from . import global_ba
+            tracker.m, _ = global_ba.global_bundle_adjustment(
+                tracker.m, lm_cfg)
         # refresh tracker pose anchors after the map moved
         tracker.R_last = tracker.m.kf_R[kf_id]
         tracker.t_last = tracker.m.kf_t[kf_id]
         tracker.has_vel = False
-        self.last_loop_kf = kf_id
+        self.last_loop_kf = seq
         self._pending_count = 0
         self._pending_cand = -1
         return True
@@ -451,7 +532,7 @@ class LoopCloser:
         from ..vocab import database as kfdb
         from . import global_ba, local_mapping
 
-        if not tracker.stash or kf_id < 5:
+        if not tracker.stash or tracker.n_kf_host < 5:
             return False
         m = tracker.m
         cfg = self.cfg
@@ -508,17 +589,30 @@ class LoopCloser:
                             tracker.db.valid, st.db.valid[:n_copy],
                             (kf_off,)))
                 # fuse duplicated landmarks around the weld, then refine
+                # with a WELD-WINDOW BA (reference MergeLocal's welding
+                # local BA, Optimizer.cc:3430; MergeInertialBA
+                # (Optimizer.cc:3853 via MergeLocal2) for inertial maps) —
+                # O(window) work per merge, not O(map) global BA, and the
+                # inertial variant keeps the preintegration chain in the
+                # weld instead of bending the gravity gauge
                 merged = local_mapping.fuse_in_neighbors(
                     merged, jnp.asarray(kf_id), tracker.cam.params,
                     tracker.cam.kind, cfg.lm_cfg)
                 merged = ms.update_landmark_stats(merged)
-                merged, _ = global_ba.global_bundle_adjustment(
-                    merged, cfg.lm_cfg)
+                if bool(getattr(tracker, "imu_ready", False)) and \
+                        tracker.kf_imu is not None:
+                    merged = local_mapping.local_inertial_ba(
+                        merged, tracker.kf_imu, jnp.asarray(kf_id),
+                        cfg.lm_cfg)
+                else:
+                    merged = local_mapping.local_bundle_adjustment(
+                        merged, jnp.asarray(kf_id), cfg.lm_cfg)
                 tracker.m = merged
                 tracker.n_kf_host = int(merged.n_kf)
+                tracker._free_kf_slots = []   # high-water mark moved
                 tracker.R_last = merged.kf_R[kf_id]
                 tracker.t_last = merged.kf_t[kf_id]
                 tracker.has_vel = False
-                self.last_loop_kf = kf_id
+                self.last_loop_kf = getattr(tracker, "kf_seq", kf_id)
                 return True
         return False

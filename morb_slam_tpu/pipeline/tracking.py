@@ -60,9 +60,14 @@ class TrackerConfig:
     min_init_points: int = 50
     min_track_points: int = 10
     min_local_points: int = 30
-    # KF trigger fires when the frame's local-map inliers drop below this
-    # fraction of the inlier count at the LAST keyframe's insertion
-    # (reference NeedNewKeyFrame c2 with thRefRatio, Tracking.cc:2840)
+    # KF trigger c2 fires when the frame's local-map inliers drop below
+    # this fraction of the inlier count at the LAST keyframe's insertion.
+    # The reference compares against the reference KF's TrackedMapPoints
+    # (minObs=3) count (Tracking.cc:2853-2860) — a DIFFERENT population
+    # than the frame's pose-opt inliers, systematically larger here, which
+    # fired the trigger at the max rate (rounds 1+3 both hit this); the
+    # decayed-inliers-since-insert test keeps c2's intent (insert when
+    # tracking support erodes) while comparing like with like.
     kf_ref_ratio: float = 0.95
     max_kf_interval: int = 12
     min_kf_interval: int = 3
@@ -81,6 +86,9 @@ class TrackerConfig:
     # spawn; LocalMapping.cc:159 bad-IMU forced reset)
     ts_jump: float = 1.0           # seconds; > this starts a fresh map
     bad_imu_timeout: float = 20.0  # s without IMU init -> forced reset
+    # visual dropout survived on pure IMU dead-reckoning before LOST
+    # (reference time_recently_lost, Tracking.cc:1838-1851)
+    time_recently_lost: float = 5.0
 
     @property
     def orb(self):
@@ -431,9 +439,17 @@ def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
     # n_close_tracked, n_close_untracked] — the last three feed the full
     # NeedNewKeyFrame condition set (reference Tracking.cc:2840-2994:
     # nRefMatches for c2's thRefRatio test, close-point starvation for c1c)
+    # reference nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs) with
+    # nMinObs = 3 (2 while the map holds <= 2 KFs) — Tracking.cc:2853-2860.
+    # Counting ALL associations instead inflates the baseline (the KF's
+    # association table is systematically larger than a frame's pose-opt
+    # inlier set) and fires the trigger at the maximum rate.
     ref_lm2 = m.kf_feat_lm[out.ref_kf]
+    lm_c = jnp.clip(ref_lm2, 0, None)
+    obs = ms.lm_obs_count(m)
+    min_obs = jnp.where(m.n_kf <= 2, 2, 3)
     ref_tracked = jnp.sum((ref_lm2 >= 0) & m.kf_feat_valid[out.ref_kf] &
-                          m.lm_valid[jnp.clip(ref_lm2, 0, None)])
+                          m.lm_valid[lm_c] & (obs[lm_c] >= min_obs))
     close_m = cfg.th_depth * cfg.baseline if cfg.baseline > 0 else 0.0
     close = fr.valid & (fr.depth > 0) & (fr.depth < close_m)
     tracked = out.feat_lm >= 0
@@ -519,12 +535,18 @@ def track_reference_kf(m: ms.MapState, fr: FrameData, ref_kf, R0, t0,
     return res.R, res.t, jnp.where(res.inliers, cur_lm, -1), res.n_inliers
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def relocalize_candidate(m: ms.MapState, fr: FrameData, kf_id, key,
-                         cfg: TrackerConfig):
+                         cfg: TrackerConfig, cam_params=None,
+                         cam_kind=None):
     """One relocalization attempt against a candidate keyframe (reference
     Tracking::Relocalization, Tracking.cc:3360): brute-force descriptor
-    match to the KF's landmarks, PnP RANSAC, then motion-only refinement."""
+    match to the KF's landmarks, PnP RANSAC, motion-only refinement, then
+    a guided SearchByProjection second pass over the candidate's local map
+    + final refinement (reference Tracking.cc:3447-3508 — the second pass
+    rescues borderline relocalizations with 30-49 first-pass inliers)."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
     ref_desc = m.kf_feat_desc[kf_id]
     ref_lm = m.kf_feat_lm[kf_id]
     ref_ok = m.kf_feat_valid[kf_id] & (ref_lm >= 0) & \
@@ -535,7 +557,6 @@ def relocalize_candidate(m: ms.MapState, fr: FrameData, kf_id, key,
     idx, _ = hamming.match_nn(dmat, ref_ok, fr.valid,
                               max_dist=hamming.TH_LOW, ratio=0.75,
                               cross_check=True)
-    F = fr.uv.shape[0]
     cur_lm = jnp.full(F, -1, jnp.int32)
     cur_lm = cur_lm.at[jnp.where(idx >= 0, idx, F)].set(ref_lm, mode="drop")
     lm_i = jnp.clip(cur_lm, 0, None)
@@ -547,14 +568,57 @@ def relocalize_candidate(m: ms.MapState, fr: FrameData, kf_id, key,
         jnp.clip(fr.octave, 0, cfg.n_levels - 1)]
     res = pose_opt.optimize_pose(pnp_res.R, pnp_res.t, m.lm_pos[lm_i],
                                  fr.xn, info, has, n_rounds=3, n_iters=10)
-    return res.R, res.t, jnp.where(res.inliers, cur_lm, -1), res.n_inliers
+    cur_lm = jnp.where(res.inliers, cur_lm, -1)
+    if cam_params is None:
+        return res.R, res.t, cur_lm, res.n_inliers
+    # guided second pass: project the candidate's covisible-window
+    # landmarks with the PnP-refined pose and window-search
+    cam = cameras.Camera(cam_kind, cam_params)
+    win_idx, win_ok = ms.local_window(m, kf_id, min(LOCAL_KFS, K),
+                                      min_weight=10)
+    slot_lm = jnp.where(m.kf_feat_lm >= 0, m.kf_feat_lm, L)
+    lm_in = jnp.zeros(L + 1, bool).at[
+        jnp.where((m.kf_feat_valid[win_idx] & win_ok[:, None]),
+                  slot_lm[win_idx], L).reshape(-1)].set(True)
+    lm_in = lm_in[:L] & m.lm_valid
+    lm_sel_n = min(MAX_LOCAL_LM, L)
+    _, lm_sel = jax.lax.top_k(lm_in.astype(jnp.int32), lm_sel_n)
+    proj_m = matching.search_by_projection(
+        m.lm_pos[lm_sel], m.lm_normal[lm_sel], m.lm_dist_max[lm_sel],
+        m.lm_desc[lm_sel], lm_in[lm_sel],
+        res.R, res.t, lambda Xc: cameras.project(cam, Xc),
+        fr.uv, fr.octave, fr.desc, fr.valid,
+        (cfg.width, cfg.height), radius_px=10.0, scale=cfg.scale,
+        n_levels=cfg.n_levels)
+    ext_lm = jnp.where(proj_m.feat_lm >= 0,
+                       lm_sel[jnp.clip(proj_m.feat_lm, 0, None)], -1)
+    cur_lm2 = jnp.where(ext_lm >= 0, ext_lm, cur_lm)
+    lm_i2 = jnp.clip(cur_lm2, 0, None)
+    res2 = pose_opt.optimize_pose(
+        res.R, res.t, m.lm_pos[lm_i2], fr.xn, info,
+        (cur_lm2 >= 0) & m.lm_valid[lm_i2], n_rounds=3, n_iters=10)
+    # keep the better of the two passes
+    better = res2.n_inliers >= res.n_inliers
+    R_f = jnp.where(better, res2.R, res.R)
+    t_f = jnp.where(better, res2.t, res.t)
+    lm_f = jnp.where(better, jnp.where(res2.inliers, cur_lm2, -1), cur_lm)
+    n_f = jnp.maximum(res2.n_inliers, res.n_inliers)
+    return R_f, t_f, lm_f, n_f
 
 
 @jax.jit
-def insert_keyframe(m: ms.MapState, fr: FrameData, feat_lm, R, t, ts):
-    """Append the current frame as a keyframe (reference
-    Tracking::CreateNewKeyFrame + LocalMapping::ProcessNewKeyFrame)."""
-    k = m.n_kf
+def insert_keyframe(m: ms.MapState, fr: FrameData, feat_lm, R, t, ts,
+                    slot=None, prev_id=None):
+    """Write the current frame into keyframe slot `slot` (reference
+    Tracking::CreateNewKeyFrame + LocalMapping::ProcessNewKeyFrame).
+    Default slot is the append position `n_kf`; the host allocator passes
+    a culled keyframe's slot once the high-water mark reaches capacity
+    (reference maps grow/cull indefinitely — KeyFrame::SetBadFlag frees
+    the object; here the fixed-capacity slot is recycled). `prev_id` is
+    the temporal-chain predecessor (reference mPrevKF) — the previously
+    NEWEST keyframe, which is no longer `slot - 1` once slots recycle."""
+    k = m.n_kf if slot is None else slot
+    prev = k - 1 if prev_id is None else prev_id
     lm_i = jnp.clip(feat_lm, 0, None)
     assoc = (feat_lm >= 0) & m.lm_valid[lm_i]
     m = m._replace(
@@ -570,8 +634,8 @@ def insert_keyframe(m: ms.MapState, fr: FrameData, feat_lm, R, t, ts):
         kf_feat_valid=m.kf_feat_valid.at[k].set(fr.valid),
         kf_feat_ur=m.kf_feat_ur.at[k].set(fr.ur),
         kf_feat_lm=m.kf_feat_lm.at[k].set(jnp.where(assoc, feat_lm, -1)),
-        kf_prev=m.kf_prev.at[k].set(k - 1),
-        n_kf=k + 1,
+        kf_prev=m.kf_prev.at[k].set(prev),
+        n_kf=jnp.maximum(m.n_kf, k + 1),
     )
     return m, k
 
@@ -708,6 +772,72 @@ def pose_inertial_step(m: ms.MapState, fr: FrameData, feat_lm, R, t,
     return res, rel
 
 
+def _track_core_vi(fr: FrameData, m: ms.MapState, last, last_feat_lm,
+                   R_last, t_last, ref_kf, cam_params, cam_kind,
+                   cfg: TrackerConfig, pre, anchor_kf, bias):
+    """Fused visual-inertial per-frame body: IMU prediction from the anchor
+    keyframe + visual tracking + pose-inertial refinement, compiled as ONE
+    program (the reference runs PredictStateIMU (Tracking.cc:1632), the
+    visual TrackLocalMap and PoseInertialOptimizationLastKeyFrame
+    (Optimizer.cc:4391) as separate steps of the same frame; fusing them
+    removes two host round-trips per frame — the structural cause of the
+    round-3 0.44 fps flagship number)."""
+    R_pred, t_pred, v_pred = imu_predict_from_kf(m, anchor_kf, bias, pre)
+    Ri, ti = lie.se3_inv(R_last, t_last)
+    vel = lie.se3_mul(R_pred, t_pred, Ri, ti)
+    fr, out, _, _, info = _track_core(
+        fr, m, last, last_feat_lm, R_last, t_last, vel[0], vel[1],
+        jnp.asarray(True), ref_kf, cam_params, cam_kind, cfg,
+        jnp.asarray(False))
+    res, _ = pose_inertial_step(out.m, fr, out.feat_lm, out.R, out.t,
+                                v_pred, bias, anchor_kf, pre, out.ref_kf,
+                                cfg)
+    ok = (jnp.isfinite(res.R_cw).all() & jnp.isfinite(res.t_cw).all()
+          & jnp.isfinite(res.v).all() & jnp.isfinite(res.bias).all())
+    R_f = jnp.where(ok, res.R_cw, out.R)
+    t_f = jnp.where(ok, res.t_cw, out.t)
+    v_f = jnp.where(ok, res.v, v_pred)
+    b_f = jnp.where(ok, res.bias, bias)
+    out = out._replace(R=R_f, t=t_f)
+    vel_new = lie.se3_mul(R_f, t_f, Ri, ti)
+    Rr, tr_ = out.m.kf_R[out.ref_kf], out.m.kf_t[out.ref_kf]
+    Rri, tri = lie.se3_inv(Rr, tr_)
+    rel = lie.se3_mul(R_f, t_f, Rri, tri)
+    info = info.at[2].set(
+        jnp.isfinite(vel_new[1]).all().astype(jnp.float32))
+    return fr, out, vel_new, rel, info, v_f, b_f
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step_vi_stereo(img_l, img_r, m: ms.MapState, last, last_feat_lm,
+                         R_last, t_last, ref_kf, cam_params, cam_kind,
+                         cfg: TrackerConfig, pre, anchor_kf, bias):
+    fr = extract_stereo_frame(img_l, img_r, cam_params, cam_kind, cfg)
+    return _track_core_vi(fr, m, last, last_feat_lm, R_last, t_last,
+                          ref_kf, cam_params, cam_kind, cfg, pre,
+                          anchor_kf, bias)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step_vi_mono(img, m: ms.MapState, last, last_feat_lm,
+                       R_last, t_last, ref_kf, cam_params, cam_kind,
+                       cfg: TrackerConfig, pre, anchor_kf, bias):
+    fr = extract_frame(img, cam_params, cam_kind, cfg)
+    return _track_core_vi(fr, m, last, last_feat_lm, R_last, t_last,
+                          ref_kf, cam_params, cam_kind, cfg, pre,
+                          anchor_kf, bias)
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_kind"))
+def track_step_vi_framedata(fr: FrameData, m: ms.MapState, last,
+                            last_feat_lm, R_last, t_last, ref_kf,
+                            cam_params, cam_kind, cfg: TrackerConfig,
+                            pre, anchor_kf, bias):
+    return _track_core_vi(fr, m, last, last_feat_lm, R_last, t_last,
+                          ref_kf, cam_params, cam_kind, cfg, pre,
+                          anchor_kf, bias)
+
+
 @jax.jit
 def apply_imu_gauge(m: ms.MapState, R_wg, scale, v_kf, bias):
     """Rotate + rescale the whole map after IMU initialization (reference
@@ -789,9 +919,11 @@ class Tracker:
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.has_vel = False
         self.ref_kf = 0
-        self._ref_matches_dev = None
-        self._ref_matches = 0
         self.n_kf_host = 0
+        self.last_kf_id = -1   # newest KF's slot (!= n_kf_host-1 once
+        self.kf_seq = 0        # slots recycle); kf_seq counts inserts
+        self._free_kf_slots = []
+        self._ref_matches = 0  # inlier count at the last KF insertion
         self.frames_since_kf = 0
         self.key = jax.random.PRNGKey(7)
         self.frames_lost = 0
@@ -815,13 +947,6 @@ class Tracker:
         # the resolution to TrackTotal / LMTotal / LoopTotal)
         from ..utils import profiling
         self.timers = profiling.global_timers()
-
-    @property
-    def ref_matches(self):
-        if self._ref_matches_dev is not None:
-            self._ref_matches = int(self._ref_matches_dev)
-            self._ref_matches_dev = None
-        return self._ref_matches
 
     # -- public API -------------------------------------------------------
 
@@ -897,7 +1022,9 @@ class Tracker:
         self.t_last = jnp.zeros(3)
         self.ref_kf = int(k0)
         self.n_kf_host = int(k0) + 1
-        self._ref_matches_dev = jnp.sum(self.last_feat_lm >= 0)
+        self.last_kf_id = int(k0)
+        self.kf_seq += 1
+        self._ref_matches = int(jnp.sum(self.last_feat_lm >= 0))
         self.frames_since_kf = 0
         self.has_vel = False
         self.state = "OK"
@@ -909,37 +1036,94 @@ class Tracker:
                             imu_ts):
         """Monocular-inertial frame (reference System::TrackMonocular with
         IMU batch): samples cover (t_lastframe, ts]."""
+        self._pre_inertial_frame(ts)
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
         self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
-                self.state == "OK" and self.last is not None:
+                self.state == "OK" and self.last is not None and \
+                not self._use_vi_fused():
             self._set_imu_prediction()
         out = self.track_mono(img, ts)
+        out = self._inertial_lost_fallback(ts, out)
         self._after_inertial_frame(ts)
         return out
 
     def track_stereo_inertial(self, img_l, img_r, ts: float, imu_acc,
                               imu_gyro, imu_ts):
+        self._pre_inertial_frame(ts)
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
         self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
-                self.state == "OK" and self.last is not None:
+                self.state == "OK" and self.last is not None and \
+                not self._use_vi_fused():
             self._set_imu_prediction()
         out = self.track_stereo(img_l, img_r, ts)
+        out = self._inertial_lost_fallback(ts, out)
         self._after_inertial_frame(ts)
         return out
 
     def track_rgbd_inertial(self, img, depth_map, ts: float, imu_acc,
                             imu_gyro, imu_ts):
         """RGB-D + IMU frame (reference IMU_RGBD sensor mode)."""
+        self._pre_inertial_frame(ts)
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
         self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
-                self.state == "OK" and self.last is not None:
+                self.state == "OK" and self.last is not None and \
+                not self._use_vi_fused():
             self._set_imu_prediction()
         out = self.track_rgbd(img, depth_map, ts)
+        out = self._inertial_lost_fallback(ts, out)
         self._after_inertial_frame(ts)
         return out
+
+    def _pre_inertial_frame(self, ts: float):
+        if self.state == "OK":
+            self._ts_lost_start = None
+        elif getattr(self, "_ts_lost_start", None) is None and \
+                self.state == "RECENTLY_LOST":
+            self._ts_lost_start = ts
+
+    def _inertial_lost_fallback(self, ts: float, out):
+        """IMU dead-reckoning through RECENTLY_LOST (reference
+        Tracking.cc:1838-1851: while recently lost on an IMU-initialized
+        map the pose is PredictStateIMU'd for up to time_recently_lost
+        seconds, and LOST is only declared after that budget). The since-KF
+        preintegration keeps extending every frame, so the prediction is
+        the anchor keyframe's state integrated to NOW; trajectory entries
+        keep flowing, and the brute-force recovery seeds its pose
+        optimization at the predicted pose."""
+        state, pose = out
+        if state != "RECENTLY_LOST" or not self.imu_ready or \
+                self.calib is None or self._pre_from_kf is None or \
+                self._anchor_kf is None or \
+                getattr(self, "_vi_suspended", False):
+            return out
+        if self._ts_lost_start is None:
+            self._ts_lost_start = ts
+        if ts - self._ts_lost_start > self.cfg.time_recently_lost:
+            self.flush()
+            self.state = "LOST"
+            if self._mapping_enabled:
+                if self.n_kf_host < 10:
+                    self.reset_active_map()
+                else:
+                    self.create_map_in_atlas()
+            return self.state, None
+        R_p, t_p, v_p = imu_predict_from_kf(
+            self.m, jnp.asarray(self._anchor_kf, jnp.int32), self.bias,
+            self._pre_from_kf)
+        if not bool(jnp.isfinite(t_p).all()):
+            return out
+        self.R_last, self.t_last = R_p, t_p
+        self.v_cur = v_p
+        self.frames_lost = 0          # the time budget governs, not frames
+        Rr, tr_ = self.m.kf_R[self.ref_kf], self.m.kf_t[self.ref_kf]
+        Rri, tri = lie.se3_inv(Rr, tr_)
+        rel = lie.se3_mul(R_p, t_p, Rri, tri)
+        self.trajectory.append((ts, self.map_gen, self.ref_kf, rel[0],
+                                rel[1]))
+        return self.state, (R_p, t_p)
 
     def _accumulate_imu(self, acc, gyro, ts_arr, frame_ts):
         if self.calib is None or len(ts_arr) == 0:
@@ -990,7 +1174,8 @@ class Tracker:
         """Constant-bias dead-reckoning from the last KEYFRAME through the
         running preintegration (reference PredictStateIMU with map-updated,
         Tracking.cc:1632)."""
-        if self._pre_from_kf is None or self._anchor_kf is None:
+        if self._pre_from_kf is None or self._anchor_kf is None or \
+                getattr(self, "_vi_suspended", False):
             return
         R_pred, t_pred, v_pred = imu_predict_from_kf(
             self.m, jnp.asarray(self._anchor_kf, jnp.int32), self.bias,
@@ -1070,6 +1255,9 @@ class Tracker:
         t_min, kf_min, pg, pa = stage_specs[self.viba_stage]
         if elapsed < t_min or n_kf < kf_min:
             return
+        # resolve any in-flight pipelined decision first: the gauge change
+        # below invalidates a pending frame's device-side results
+        self.flush()
         m = self.m
         R_wb = jnp.swapaxes(m.kf_R, -1, -2)
         p_wb = -lie.matvec(R_wb, m.kf_t)
@@ -1080,7 +1268,11 @@ class Tracker:
         # gravity direction, biases and velocities at FIXED scale — with
         # scale out of the GN there is no collapse mode
         K = m.kf_valid.shape[0]
-        recent = m.kf_valid & (jnp.arange(K) >= max(n_kf - 14, 0))
+        # recency by TIMESTAMP, not slot index (slots recycle once the
+        # high-water mark reaches capacity)
+        ts_v = jnp.where(m.kf_valid, m.kf_ts, -jnp.inf)
+        thr = jax.lax.top_k(ts_v, min(14, K))[0][-1]
+        recent = m.kf_valid & (m.kf_ts >= thr)
         s_lin, g_lin, v_lin, rms = inertial_mod.linear_alignment(
             self.kf_imu, R_wb, p_wb, recent)
         g_norm = float(jnp.linalg.norm(g_lin))
@@ -1091,9 +1283,23 @@ class Tracker:
         # already metric (s = 1)
         s_f = 1.0
         if mono and not self.imu_ready:
+            # MONO metric scale needs a stricter gate than gravity: at the
+            # 2 s first-chance window the closed-form scale can be
+            # confidently wrong (measured: s=0.47 at rms 0.017 when the
+            # truth was ~3.6; by 3.3 s the estimate stabilizes at rms
+            # ~0.003). Require a tight residual AND two consecutive
+            # attempts agreeing before re-gauging the map.
             s_cand = float(s_lin)
-            if 0.05 < s_cand < 50.0:
-                s_f = s_cand
+            s_prev, seq_prev = getattr(self, "_s_cand_prev", (None, -1))
+            self._s_cand_prev = (s_cand, self.kf_seq)
+            # agreement only counts across DIFFERENT keyframe sets (the
+            # estimate is deterministic between inserts)
+            stable = (s_prev is not None and seq_prev != self.kf_seq
+                      and abs(s_cand - s_prev) < 0.15 * max(s_cand, 1e-6))
+            if not (0.05 < s_cand < 50.0 and float(rms) < 0.008
+                    and stable):
+                return
+            s_f = s_cand
         if not (9.0 < g_norm < 10.6) or float(rms) > 0.03:
             # inconsistent alignment (drifty map / weak excitation) — retry
             return
@@ -1132,7 +1338,7 @@ class Tracker:
         # FullInertialBA from InitializeIMU / VIBA1 / VIBA2,
         # LocalMapping.cc:212-261) with the stage's bias priors
         if self.n_kf_host >= 4:
-            last = self.n_kf_host - 1
+            last = self.last_kf_id
             self.m, _ = local_mapping.full_inertial_ba(
                 self.m, self.kf_imu, jnp.asarray(last, jnp.int32),
                 self.cfg.lm_cfg, window=32,
@@ -1214,7 +1420,9 @@ class Tracker:
         self.t_last = self.m.kf_t[int(k1)]
         self.ref_kf = int(k1)
         self.n_kf_host = int(k1) + 1
-        self._ref_matches_dev = jnp.sum(self.last_feat_lm >= 0)
+        self.last_kf_id = int(k1)
+        self.kf_seq += 2
+        self._ref_matches = int(jnp.sum(self.last_feat_lm >= 0))
         self.frames_since_kf = 0
         self.has_vel = False
         self.state = "OK"
@@ -1229,13 +1437,22 @@ class Tracker:
         cfg = self.cfg
         vel_R, vel_t = self.vel
         with self.timers.stage("TrackTotal") as st:
-            out_tuple = track_step_framedata(
-                fr, self.m, self.last, self.last_feat_lm,
-                self.R_last, self.t_last, vel_R, vel_t,
-                jnp.asarray(self.has_vel),
-                jnp.asarray(self.ref_kf, jnp.int32),
-                self.cam.params, self.cam.kind, cfg,
-                jnp.asarray(self._take_vel_trust()))
+            if self._use_vi_fused():
+                out_tuple = track_step_vi_framedata(
+                    fr, self.m, self.last, self.last_feat_lm,
+                    self.R_last, self.t_last,
+                    jnp.asarray(self.ref_kf, jnp.int32),
+                    self.cam.params, self.cam.kind, cfg,
+                    self._pre_from_kf,
+                    jnp.asarray(self._anchor_kf, jnp.int32), self.bias)
+            else:
+                out_tuple = track_step_framedata(
+                    fr, self.m, self.last, self.last_feat_lm,
+                    self.R_last, self.t_last, vel_R, vel_t,
+                    jnp.asarray(self.has_vel),
+                    jnp.asarray(self.ref_kf, jnp.int32),
+                    self.cam.params, self.cam.kind, cfg,
+                    jnp.asarray(self._take_vel_trust()))
             st.set(out_tuple[4])
             _start_fetch(out_tuple[4])
             if self._use_pipeline():
@@ -1259,7 +1476,18 @@ class Tracker:
         vel_R, vel_t = self.vel
         trust = jnp.asarray(self._take_vel_trust())
         with self.timers.stage("TrackTotal") as st:
-            if isinstance(img, tuple):
+            if self._use_vi_fused():
+                args = (self.m, self.last, self.last_feat_lm,
+                        self.R_last, self.t_last,
+                        jnp.asarray(self.ref_kf, jnp.int32),
+                        self.cam.params, self.cam.kind, cfg,
+                        self._pre_from_kf,
+                        jnp.asarray(self._anchor_kf, jnp.int32), self.bias)
+                if isinstance(img, tuple):
+                    out_tuple = track_step_vi_stereo(img[0], img[1], *args)
+                else:
+                    out_tuple = track_step_vi_mono(img, *args)
+            elif isinstance(img, tuple):
                 out_tuple = track_step_stereo(
                     img[0], img[1], self.m, self.last, self.last_feat_lm,
                     self.R_last, self.t_last, vel_R, vel_t,
@@ -1283,18 +1511,36 @@ class Tracker:
     #    tracking never blocks on its own frame's results) ----------------
 
     def _use_pipeline(self):
-        """Pipelined decisions are used for pure-visual tracking in the OK
-        state: the frame's device program is dispatched against the
-        previous frame's DEVICE-resident outputs, and the host decision
-        logic (state machine, keyframe insertion) runs one frame late on
-        the already-in-flight info vector — the device->host round trip
+        """Pipelined decisions are used for tracking in the OK state: the
+        frame's device program is dispatched against the previous frame's
+        DEVICE-resident outputs, and the host decision logic (state
+        machine, keyframe insertion) runs one frame late on the
+        already-in-flight info vector — the device->host round trip
         (~40 ms over a remote-chip link) overlaps the next frame's compute
-        instead of stalling the loop."""
-        return (self.pipelined and self.calib is None
-                and self.state == "OK")
+        instead of stalling the loop. Inertial tracking pipelines once the
+        IMU is initialized: the IMU prediction + pose-inertial refinement
+        are fused into the per-frame program (_track_core_vi). The
+        PRE-init phase stays synchronous — its visual-only odometry must
+        be as clean as possible (measured: pipelined pre-init left 2.5
+        deg of pitch drift in the young map vs 0.16 deg sync, and that
+        tilt poisons the gravity gauge the whole session) — and the
+        staged init flushes the pending decision before a gauge change."""
+        if self.calib is not None and not self.imu_ready:
+            return False
+        return self.pipelined and self.state == "OK"
+
+    def _use_vi_fused(self):
+        """The fused visual-inertial per-frame program is used once the
+        IMU is initialized and a since-KF preintegration chain is live
+        (suspended after a relocalization until the next keyframe re-roots
+        the chain — the old anchor's state no longer bounds the camera)."""
+        return (self.calib is not None and self.imu_ready
+                and self._pre_from_kf is not None
+                and self._anchor_kf is not None
+                and not getattr(self, "_vi_suspended", False))
 
     def _track_pipelined(self, out_tuple, ts: float):
-        fr, out, vel_new, rel, info = out_tuple
+        fr, out, vel_new, rel, info = out_tuple[:5]
         prev = self._pending
         self._pending = (out_tuple, ts)
         # optimistic device-side state for the next dispatch (no sync):
@@ -1305,6 +1551,10 @@ class Tracker:
         self.R_last, self.t_last = out.R, out.t
         self.vel = vel_new
         self.has_vel = True
+        if len(out_tuple) == 7:
+            # fused VI program: refined velocity + bias ride along
+            self.v_cur = out_tuple[5]
+            self.bias = out_tuple[6]
         self.frames_since_kf += 1
         if prev is not None:
             self._decide_pending(*prev)
@@ -1323,7 +1573,9 @@ class Tracker:
         _post_track, minus the per-frame fallback retries — recovery goes
         through relocalization instead)."""
         cfg = self.cfg
-        fr, out, vel_new, rel, info = out_tuple
+        fr, out, vel_new, rel, info = out_tuple[:5]
+        v_bias = (out_tuple[5], out_tuple[6]) if len(out_tuple) == 7 \
+            else None
         info_h = np.asarray(info)
         n_inl = int(info_h[0])
         ref_kf_new = int(info_h[1])
@@ -1331,14 +1583,19 @@ class Tracker:
             self.has_vel = False
         if n_inl < cfg.min_track_points:
             # this frame was bad — the in-flight successor built on it is
-            # poisoned too: drop it and recover through relocalization
+            # poisoned too: drop it and recover (IMU dead-reckoning first
+            # on an initialized inertial map, else relocalization)
             self.state = "RECENTLY_LOST"
             self.has_vel = False
             self.frames_lost += 1
             self._pending = None
             self.last = None
-            self.R_last = self.m.kf_R[self.ref_kf]
-            self.t_last = self.m.kf_t[self.ref_kf]
+            if not self._use_vi_fused():
+                # visual: re-seed the recovery search at the reference KF.
+                # Inertial keeps R_last/t_last — _inertial_lost_fallback
+                # replaces them with the IMU-predicted pose each frame.
+                self.R_last = self.m.kf_R[self.ref_kf]
+                self.t_last = self.m.kf_t[self.ref_kf]
             if self.frames_lost > 60:
                 self.state = "LOST"
                 if self._mapping_enabled:
@@ -1366,13 +1623,13 @@ class Tracker:
         self.trajectory.append((ts, self.map_gen, ref_kf_new, rel[0],
                                 rel[1]))
         need = self._need_new_kf(n_inl, info_h, ts)
-        if need and self._mapping_enabled and \
-                self.n_kf_host < cfg.max_kf - 1:
+        if need and self._mapping_enabled:
             loops_before = self.n_loops_closed
-            k = self.n_kf_host
-            self._insert_keyframe(fr, out, ts, refresh_anchors=False,
-                                  ref_inliers=n_inl)
-            if self.n_loops_closed != loops_before:
+            k = self._insert_keyframe(fr, out, ts, refresh_anchors=False,
+                                      ref_inliers=n_inl, v_bias=v_bias)
+            if k is None:
+                pass
+            elif self.n_loops_closed != loops_before:
                 # a loop correction moved the whole map: the in-flight
                 # frame's results are stale — drop them and re-anchor
                 self._pending = None
@@ -1398,26 +1655,40 @@ class Tracker:
         count; c3: inertial timer (reference inserts every 0.5 s once the
         IMU is initialized); c4: inertial mono with weak visual tracking."""
         cfg = self.cfg
-        ref_tracked = max(int(info_h[4]), 1)
+        ref_tracked = max(int(info_h[4]), 1)   # ref KF landmarks, obs >= 3
         close_trk = int(info_h[5])
         close_untrk = int(info_h[6])
         stereoish = cfg.baseline > 0
-        th_ratio = 0.75 if stereoish else 0.9
-        if self.n_kf_host <= 2:
-            th_ratio = 0.4 if stereoish else th_ratio
+        # the reference's 0.75 stereo ratio is calibrated against the
+        # INFLATED nRefMatches population; against the like-for-like
+        # decayed-inliers baseline it under-fires (7 KFs in 3 s — too few
+        # for the 10-KF IMU-init gate), so both sensor classes use
+        # kf_ref_ratio here
+        th_ratio = cfg.kf_ref_ratio
         need_close = stereoish and close_trk < 100 and close_untrk > 70
         c1a = self.frames_since_kf >= cfg.max_kf_interval
         c1b = self.frames_since_kf >= cfg.min_kf_interval
         c1c = stereoish and c1b and \
             (n_inl < 0.25 * ref_tracked or need_close)
-        c2 = (n_inl < th_ratio * ref_tracked or need_close) and n_inl > 15
-        need = (c1a or c1b or c1c) and c2
-        if cfg.inertial and self.calib is not None and self.imu_ready \
-                and n_inl > 15:
+        c2 = (n_inl < th_ratio * max(self._ref_matches, 1)
+              or need_close) and n_inl > 15
+        # c1a inserts unconditionally: a richly-tracked frame can keep c2
+        # false indefinitely, and a map that stops inserting keyframes
+        # drifts unboundedly (behaviorally c1a is the reference's "too
+        # long since last KF" safety valve)
+        need = c1a or ((c1b or c1c) and c2)
+        if cfg.inertial and self.calib is not None and n_inl > 15:
             last_ts = getattr(self, "_last_kf_ts", None)
-            if last_ts is not None and ts - last_ts >= 0.5:
+            if not self.imu_ready:
+                # pre-init inertial maps insert every 0.25 s (reference
+                # Tracking.cc:2915-2925: the staged IMU initialization
+                # needs ~10 keyframes within its 2 s window)
+                if last_ts is not None and ts - last_ts >= 0.25:
+                    need = True
+            elif last_ts is not None and ts - last_ts >= 0.5:
                 need = True                      # c3 inertial timer
-            if not stereoish and c1b and 15 < n_inl < 75:
+            if self.imu_ready and not stereoish and c1b and \
+                    15 < n_inl < 75:
                 need = True                      # c4 weak mono-inertial
         return need and n_inl > 15
 
@@ -1436,13 +1707,18 @@ class Tracker:
 
     def _post_track(self, out_tuple, ts: float):
         cfg = self.cfg
-        fr, out, vel_new, rel, info = out_tuple
+        fr, out, vel_new, rel, info = out_tuple[:5]
+        # fused VI program: refined velocity + bias ride along, and the
+        # pose-inertial refinement already happened in-program
+        v_bias = (out_tuple[5], out_tuple[6]) if len(out_tuple) == 7 \
+            else None
         # the frame's ONE device->host sync: all decision scalars together
         info_h = np.asarray(info)
         n_inl = int(info_h[0])
         ref_kf_new = int(info_h[1])
         vel_finite = bool(info_h[2] > 0.5)
-        if bool(self.has_vel) and n_inl < cfg.min_local_points:
+        if v_bias is None and bool(self.has_vel) and \
+                n_inl < cfg.min_local_points:
             # the motion-model prediction may have poisoned the window
             # search (overshoot confirms itself on repetitive texture) —
             # retry prediction-free (reference falls back to
@@ -1459,7 +1735,7 @@ class Tracker:
                 ref_kf_new = int(info2_h[1])
                 vel_finite = bool(info2_h[2] > 0.5)
                 vel_new, rel = vel2, rel2
-        if n_inl < cfg.min_local_points:
+        if v_bias is None and n_inl < cfg.min_local_points:
             # brute-force match against the reference keyframe
             Rr, tr_, lm_r, n_r = track_reference_kf(
                 self.m, fr, jnp.asarray(self.ref_kf, jnp.int32),
@@ -1476,6 +1752,11 @@ class Tracker:
             self.state = "RECENTLY_LOST"
             self.has_vel = False
             self.frames_lost += 1
+            if v_bias is not None:
+                # IMU-initialized map: dead-reckon through the dropout
+                # (_inertial_lost_fallback) instead of relocalizing
+                # (reference Tracking.cc:1838-1851)
+                return self.state, None
             if self._try_relocalize(fr):
                 return self.state, (self.R_last, self.t_last)
             if self.frames_lost > 60:
@@ -1500,13 +1781,15 @@ class Tracker:
         else:
             self.has_vel = False
         self.R_last, self.t_last = out.R, out.t
-        # visual-inertial per-frame refinement (reference replaces
-        # PoseOptimization with PoseInertialOptimizationLastKeyFrame once
-        # the IMU is initialized, Tracking.cc:2763-2785): fuses the
-        # since-KF preintegration, maintaining accurate velocity + bias
-        if (self.calib is not None and self.imu_ready
+        if v_bias is not None:
+            # the fused program already ran the pose-inertial refinement
+            # (reference PoseInertialOptimizationLastKeyFrame,
+            # Tracking.cc:2763-2785) — adopt its velocity/bias state
+            self.v_cur, self.bias = v_bias
+        elif (self.calib is not None and self.imu_ready
                 and self._pre_from_kf is not None
-                and self._anchor_kf is not None):
+                and self._anchor_kf is not None
+                and not getattr(self, "_vi_suspended", False)):
             v0 = getattr(self, "_v_pred", None)
             if v0 is None:
                 v0 = self.v_cur
@@ -1531,30 +1814,84 @@ class Tracker:
         # info_h is the frame's fetched decision vector — the fallback
         # paths above only changed n_inl, which is passed separately
         need = self._need_new_kf(n_inl, info_h, ts)
-        if need and self._mapping_enabled and \
-                self.n_kf_host < cfg.max_kf - 1:
-            self._insert_keyframe(fr, out, ts, ref_inliers=n_inl)
+        if need and self._mapping_enabled:
+            self._insert_keyframe(fr, out, ts, ref_inliers=n_inl,
+                                  v_bias=v_bias)
         return self.state, (out.R, out.t)
 
+    def _alloc_kf_slot(self):
+        """Keyframe slot allocator: append below the high-water mark; once
+        capacity is reached, recycle culled keyframes' slots (mirror of the
+        landmark free-slot reuse in local_mapping — reference maps
+        grow/cull indefinitely, so a fixed-capacity map must recycle).
+        Returns None only when every slot is live."""
+        cfg = self.cfg
+        if self.n_kf_host < cfg.max_kf - 1:
+            k = self.n_kf_host
+            self.n_kf_host += 1
+            return k
+        if not self._free_kf_slots:
+            # one (rare) device sync to learn which slots culling freed
+            valid = np.asarray(self.m.kf_valid[:self.n_kf_host])
+            protect = {0, self.ref_kf, self.last_kf_id}
+            if self._anchor_kf is not None:
+                protect.add(self._anchor_kf)
+            self._free_kf_slots = [i for i in range(1, self.n_kf_host)
+                                   if not valid[i] and i not in protect]
+        if not self._free_kf_slots:
+            return None
+        k = self._free_kf_slots.pop(0)
+        self._rebase_trajectory(k)
+        if self.loop_closer is not None:
+            # a recycled slot must not resurrect a historical loop edge
+            self.loop_closer.past_loop_edges = [
+                e for e in self.loop_closer.past_loop_edges if k not in e]
+        return k
+
+    def _rebase_trajectory(self, slot: int):
+        """Re-anchor trajectory entries referencing a recycled keyframe
+        slot onto the newest keyframe, composing through the culled KF's
+        final pose (the same pose resolve_ref_pose would have used).
+        Keeps the reference's relative-pose trajectory scheme exact under
+        slot recycling."""
+        hits = [i for i, e in enumerate(self.trajectory)
+                if e[1] == self.map_gen and e[2] == slot]
+        if not hits:
+            return
+        anchor = self.last_kf_id
+        Rs, ts_ = self.m.kf_R[slot], self.m.kf_t[slot]
+        Rai, tai = lie.se3_inv(self.m.kf_R[anchor], self.m.kf_t[anchor])
+        dR, dt = lie.se3_mul(Rs, ts_, Rai, tai)      # T_slot * T_anchor^-1
+        for i in hits:
+            t0, g0, _, R_cr, t_cr = self.trajectory[i]
+            R2, t2 = lie.se3_mul(R_cr, t_cr, dR, dt)
+            self.trajectory[i] = (t0, g0, anchor, R2, t2)
+
     def _insert_keyframe(self, fr: FrameData, out: TrackOutput, ts: float,
-                         refresh_anchors: bool = True, ref_inliers=None):
-        # host tracks the KF count itself: no device sync needed here — the
-        # whole insert+mapping chain stays an async dispatch
-        k = self.n_kf_host
-        self.m, _ = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
-                                    ts)
-        self.n_kf_host += 1
-        # after an Atlas merge the temporal predecessor is NOT k-1 (that
-        # slot holds the last welded old-map KF) — splice the chain to the
-        # pre-merge newest active KF instead
+                         refresh_anchors: bool = True, ref_inliers=None,
+                         v_bias=None):
+        # host tracks slot allocation itself: no device sync needed on the
+        # append path — the whole insert+mapping chain stays async
+        k = self._alloc_kf_slot()
+        if k is None:
+            return None
+        # the temporal predecessor is the previously newest KF (reference
+        # mPrevKF); after an Atlas merge it is the pre-merge newest active
+        # KF (the chain splices over the welded old-map block)
         prev_override = getattr(self, "_kf_prev_override", None)
-        if prev_override is not None:
-            self.m = self.m._replace(
-                kf_prev=self.m.kf_prev.at[k].set(prev_override))
-            self._kf_prev_override = None
-            self._record_kf_imu(k, ts, prev=prev_override)
-        else:
-            self._record_kf_imu(k, ts)
+        prev = prev_override if prev_override is not None \
+            else self.last_kf_id
+        self._kf_prev_override = None
+        self.m, _ = insert_keyframe(self.m, fr, out.feat_lm, out.R, out.t,
+                                    ts, slot=jnp.asarray(k, jnp.int32),
+                                    prev_id=jnp.asarray(prev, jnp.int32))
+        self.last_kf_id = k
+        self.kf_seq += 1
+        if ref_inliers is not None:
+            # c2 baseline: the inserting frame's inlier count (host-known,
+            # no device sync) — see kf_ref_ratio in TrackerConfig
+            self._ref_matches = int(ref_inliers)
+        self._record_kf_imu(k, ts, prev=prev, v_bias=v_bias)
         if self.cfg.baseline > 0:
             self.m = create_close_landmarks(
                 self.m, jnp.asarray(k, jnp.int32), fr, self.cfg)
@@ -1581,16 +1918,6 @@ class Tracker:
                                                                  bow):
                     self.n_loops_closed += 1
         self.ref_kf = k
-        # KF-trigger baseline: the INSERTING frame's inlier count, so the
-        # ratio test compares like with like (inliers vs inliers — the KF's
-        # association count is systematically larger and made the trigger
-        # fire every min_kf_interval). Known on the host, no device sync.
-        if ref_inliers is not None:
-            self._ref_matches = int(ref_inliers)
-            self._ref_matches_dev = None
-        else:
-            self._ref_matches_dev = jnp.sum(self.m.kf_feat_lm[k] >= 0)
-            _start_fetch(self._ref_matches_dev)
         self.frames_since_kf = 0
         if refresh_anchors:
             self.last_feat_lm = self.m.kf_feat_lm[k]
@@ -1615,20 +1942,28 @@ class Tracker:
             else:
                 self._decide_corr = lie.se3_mul(prev_corr[0], prev_corr[1],
                                                 dR, dt)
+        return k
 
-    def _record_kf_imu(self, k: int, ts: float, prev: int = None):
+    def _record_kf_imu(self, k: int, ts: float, prev: int = None,
+                       v_bias=None):
         if self.calib is None:
             return
         from .. import imu as imu_mod
         from ..optim import inertial as inertial_mod
         if self.ts_first_kf is None:
             self.ts_first_kf = ts
+        v_rec, b_rec = (self.v_cur, self.bias) if v_bias is None else v_bias
         # only samples newer than the previous keyframe belong to this
         # preintegration (matters for the two mono-init keyframes, whose
-        # buffer reaches back to the very first frame)
+        # buffer reaches back to the very first frame). In the pipelined
+        # loop the insert decision lags one frame, so the buffer may
+        # already hold batches NEWER than the keyframe's timestamp — they
+        # belong to the NEXT interval and to the restarted since-KF chain.
         prev_ts = getattr(self, "_last_kf_ts", -np.inf)
         buf = [(ft, a, g, d) for (ft, a, g, d) in self.imu_buf
-               if ft > prev_ts + 1e-9]
+               if prev_ts + 1e-9 < ft <= ts + 1e-9]
+        leftover = [(ft, a, g, d) for (ft, a, g, d) in self.imu_buf
+                    if ft > ts + 1e-9]
         self._last_kf_ts = ts
         if buf and k > 0:
             acc = np.concatenate([a for ft, a, g, d in buf])
@@ -1646,15 +1981,31 @@ class Tracker:
                 jnp.asarray(np.concatenate([gyro, z])),
                 jnp.asarray(np.concatenate([dts,
                                             np.zeros(pad, np.float32)])),
-                jnp.arange(cap) < n, self.bias, self.calib)
+                jnp.arange(cap) < n, b_rec, self.calib)
             self.kf_imu = inertial_mod.set_kf_imu(
                 self.kf_imu, k, pre, k - 1 if prev is None else prev)
             self.m = self.m._replace(
-                kf_v=self.m.kf_v.at[k].set(self.v_cur),
-                kf_bias=self.m.kf_bias.at[k].set(self.bias))
-        self.imu_buf = []
-        # restart the per-frame since-KF preintegration at this keyframe
+                kf_v=self.m.kf_v.at[k].set(v_rec),
+                kf_bias=self.m.kf_bias.at[k].set(b_rec))
+        self.imu_buf = leftover
+        # restart the per-frame since-KF preintegration at this keyframe,
+        # then re-apply any batches newer than the KF so the chain spans
+        # keyframe -> latest dispatched frame
         self._reset_pre_from_kf(k)
+        for (ft, a, g, d) in leftover:
+            n = len(d)
+            cap = 64
+            if n > cap:
+                a, g, d = a[-cap:], g[-cap:], d[-cap:]
+                n = cap
+            pad = cap - n
+            z = np.zeros((pad, 3), np.float32)
+            self._pre_from_kf = continue_preintegration(
+                self._pre_from_kf, jnp.asarray(np.concatenate([a, z])),
+                jnp.asarray(np.concatenate([g, z])),
+                jnp.asarray(np.concatenate([d, np.zeros(pad, np.float32)])),
+                jnp.arange(cap) < n, self.calib)
+        self._vi_suspended = False
 
     def _db_add(self, kf_id: int, fr: FrameData):
         if self.db is None:
@@ -1677,15 +2028,27 @@ class Tracker:
             return True
         if self.n_kf_host > 0:
             # anchor candidates: the reference KF first, then the most
-            # recent valid keyframes — the reference KF itself may be the
-            # corrupted frame that caused the loss
+            # recent (by timestamp — slots recycle) valid keyframes — the
+            # reference KF itself may be the corrupted frame that caused
+            # the loss
             valid = np.asarray(self.m.kf_valid[:self.n_kf_host])
-            cands = [self.ref_kf] + [
-                k for k in range(self.n_kf_host - 1, -1, -1)
-                if valid[k] and k != self.ref_kf][:3]
+            kts = np.asarray(self.m.kf_ts[:self.n_kf_host])
+            order = sorted((k for k in range(self.n_kf_host)
+                            if valid[k] and k != self.ref_kf),
+                           key=lambda k: -kts[k])
+            cands = [self.ref_kf] + order[:3]
+            # with live IMU dead-reckoning, the predicted pose (set by
+            # _inertial_lost_fallback) is a far better pose-opt seed than
+            # the candidate keyframe's own pose
+            imu_seed = (self.calib is not None and self.imu_ready
+                        and not getattr(self, "_vi_suspended", False)
+                        and self._pre_from_kf is not None)
             for k in cands[:4]:
-                R0 = self.m.kf_R[k]
-                t0 = self.m.kf_t[k]
+                if imu_seed:
+                    R0, t0 = self.R_last, self.t_last
+                else:
+                    R0 = self.m.kf_R[k]
+                    t0 = self.m.kf_t[k]
                 R, t, lm, n = track_reference_kf(
                     self.m, fr, jnp.asarray(k, jnp.int32), R0, t0,
                     self.cfg)
@@ -1698,8 +2061,16 @@ class Tracker:
                     self.state = "OK"
                     self.frames_lost = 0
                     self._ref_matches = int(n)
-                    self._ref_matches_dev = None
                     self.frames_since_kf = self.cfg.min_kf_interval
+                    if self.calib is not None:
+                        # suspend the inertial chain: the since-KF
+                        # preintegration accumulated across the lost gap no
+                        # longer relates the anchor keyframe's state to the
+                        # recovered pose — the fused VI program and the IMU
+                        # prediction stay off until the next keyframe
+                        # re-roots the chain (_record_kf_imu clears this)
+                        self._vi_suspended = True
+                        self.has_vel = False
                     return True
         self.state = "RECENTLY_LOST"
         self.frames_lost += 1
@@ -1726,7 +2097,8 @@ class Tracker:
                 continue
             self.key, k = jax.random.split(self.key)
             R, t, feat_lm, n_inl = relocalize_candidate(
-                self.m, fr, ids[c], k, self.cfg)
+                self.m, fr, ids[c], k, self.cfg, self.cam.params,
+                self.cam.kind)
             if best is None or int(n_inl) > best[3]:
                 best = (R, t, feat_lm, int(n_inl), int(ids[c]))
         if best is None or best[3] < 30:
@@ -1739,13 +2111,16 @@ class Tracker:
         self.has_vel = False
         self.state = "OK"
         self.frames_lost = 0
-        # re-arm the keyframe trigger: the reference-match baseline must
-        # reflect the relocalized frame, and insertion should be possible
+        # re-arm the keyframe trigger: insertion should be possible
         # immediately (a freshly restored session otherwise never inserts
         # KFs until max_kf_interval elapses)
         self._ref_matches = n_inl
-        self._ref_matches_dev = None
         self.frames_since_kf = self.cfg.min_kf_interval
+        if self.calib is not None:
+            # see _recover_lost: the cross-gap preintegration no longer
+            # bounds the relocalized pose — suspend VI until the next KF
+            self._vi_suspended = True
+            self.has_vel = False
         return True
 
     # -- multi-map Atlas (reference Atlas + Tracking::CreateMapInAtlas) ----
@@ -1765,6 +2140,8 @@ class Tracker:
             self.v_cur = jnp.zeros(3)
             self._pre_from_kf = None
             self._anchor_kf = None
+            self._vi_suspended = False
+            self._ts_lost_start = None
         self.state = "NOT_INITIALIZED"
         self.fr_init = None
         self.last = None
@@ -1774,10 +2151,11 @@ class Tracker:
         self.has_vel = False
         self.ref_kf = 0
         self.n_kf_host = 0
+        self.last_kf_id = -1
+        self._free_kf_slots = []
+        self._ref_matches = 0
         self.frames_since_kf = 0
         self.frames_lost = 0
-        self._ref_matches_dev = None
-        self._ref_matches = 0
         self._pending = None
 
     def reset_active_map(self):

@@ -44,38 +44,44 @@ class Vocabulary(NamedTuple):
         return self.centers[-1].shape[0]
 
 
-def _majority(descs, weights=None):
-    """Hamming-space centroid: per-bit (weighted) majority vote.
-    descs: (N, 8) uint32 -> (8,) uint32."""
-    bits = hamming.unpack_bits(descs)            # (N, 256) float
-    if weights is None:
-        s = jnp.sum(bits, axis=0)
-        n = descs.shape[0]
-        maj = (2.0 * s > n)
-    else:
-        s = jnp.sum(bits * weights[:, None], axis=0)
-        maj = (2.0 * s > jnp.sum(weights))
-    words = maj.reshape(8, 32).astype(jnp.uint32)
-    return jnp.sum(words << jnp.arange(32, dtype=jnp.uint32), axis=-1) \
-        .astype(jnp.uint32)
+def _np_popcount32(x):
+    """Vectorized popcount for uint32 arrays (SWAR bithack — the same
+    trick as the reference's DescriptorDistance, ORBmatcher.cc:1880)."""
+    x = x.astype(np.uint32)
+    x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+    x = (x & np.uint32(0x33333333)) + \
+        ((x >> np.uint32(2)) & np.uint32(0x33333333))
+    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    return ((x * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int32)
+
+
+def _np_majority(members, weights):
+    """Weighted per-bit majority vote -> (8,) uint32 (numpy)."""
+    bits = np.unpackbits(
+        members.astype(np.uint32).view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.float32)                                    # (M, 256)
+    s = bits.T @ weights
+    maj = (2.0 * s > np.sum(weights)).astype(np.uint8)
+    return np.packbits(maj, bitorder="little").view(np.uint32)
 
 
 def train(descs, k: int = 10, depth: int = 4, iters: int = 8,
           seed: int = 0) -> Vocabulary:
-    """Hierarchical binary k-means over training descriptors (host-driven
-    loop, device math). descs: (N, 8) uint32."""
+    """Hierarchical binary k-means over training descriptors. Pure-numpy
+    host math: this is an offline tool, and a device-looped version costs
+    thousands of tiny dispatches (minutes over a remote-chip link) for
+    work numpy finishes in well under a second. descs: (N, 8) uint32."""
     rng = np.random.default_rng(seed)
-    descs = jnp.asarray(descs)
-    N = descs.shape[0]
-    assign = jnp.zeros(N, jnp.int32)      # node index at current level
+    d_np = np.asarray(descs, np.uint32)
+    N = d_np.shape[0]
+    assign = np.zeros(N, np.int64)        # node index at current level
     centers_all = []
     for level in range(depth):
         n_parent = k ** level
         new_centers = np.zeros((n_parent * k, 8), np.uint32)
-        new_assign = np.asarray(assign).copy()
-        d_np = np.asarray(descs)
+        new_assign = assign.copy()
         for p in range(n_parent):
-            mask = np.asarray(assign) == p
+            mask = assign == p
             members = d_np[mask]
             if len(members) == 0:
                 # empty branch: seed with random training descriptors
@@ -86,25 +92,23 @@ def train(descs, k: int = 10, depth: int = 4, iters: int = 8,
             if len(c) < k:
                 c = np.concatenate([c, members[rng.integers(0, len(members),
                                                             k - len(c))]])
-            c = jnp.asarray(c)
-            mj = jnp.asarray(members)
             for _ in range(iters):
-                dist = hamming.hamming_matrix(mj, c)       # (M, k)
-                a = jnp.argmin(dist, axis=1)
-                c = jnp.stack([
-                    _majority(jnp.where((a == j)[:, None], mj,
-                                        jnp.zeros_like(mj)),
-                              weights=(a == j).astype(jnp.float32))
+                dist = _np_popcount32(
+                    members[:, None, :] ^ c[None, :, :]).sum(-1)  # (M, k)
+                a = np.argmin(dist, axis=1)
+                c = np.stack([
+                    _np_majority(members, (a == j).astype(np.float32))
                     for j in range(k)])
-            dist = hamming.hamming_matrix(mj, c)
-            a = np.asarray(jnp.argmin(dist, axis=1))
-            new_centers[p * k:(p + 1) * k] = np.asarray(c)
+            dist = _np_popcount32(
+                members[:, None, :] ^ c[None, :, :]).sum(-1)
+            a = np.argmin(dist, axis=1)
+            new_centers[p * k:(p + 1) * k] = c
             new_assign[mask] = p * k + a
         centers_all.append(jnp.asarray(new_centers))
-        assign = jnp.asarray(new_assign)
+        assign = new_assign
     # idf weights from training distribution (reference TF_IDF weighting)
     n_words = k ** depth
-    counts = np.bincount(np.asarray(assign), minlength=n_words)
+    counts = np.bincount(assign, minlength=n_words)
     idf = np.log(N / np.maximum(counts, 1.0))
     idf[counts == 0] = 0.0
     return Vocabulary(centers=tuple(centers_all),

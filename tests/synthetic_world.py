@@ -90,6 +90,78 @@ class PlaneWorld:
         return img
 
 
+class RingWorld(PlaneWorld):
+    """Textured panels on a ring, camera orbiting inside looking outward:
+    covisibility genuinely BREAKS as the camera advances (a panel leaves
+    the frustum after ~40 degrees and nothing global stays in view), so a
+    full circuit produces the canonical loop-closure situation — revisited
+    ground with no covisibility link, reachable only through place
+    recognition. (The PlaneWorld corridor keeps its back wall in view
+    forever, which keeps every keyframe covisibility-connected and makes a
+    BoW-only loop impossible — for the reference too.)"""
+
+    def __init__(self, K, width, height, n_panels=56, r_panel=6.0, seed=0):
+        self.K = np.asarray(K, np.float64)
+        self.w, self.h = width, height
+        rng = np.random.default_rng(seed)
+        self.planes = []
+        for k in range(n_panels):
+            phi = 2 * np.pi * k / n_panels
+            tangent = np.array([np.cos(phi), 0.0, -np.sin(phi)])
+            up = np.array([0.0, 1.0, 0.0])
+            ex_w, ey_h = 1.7, 1.6
+            origin = (r_panel * np.array([np.sin(phi), 0.0, np.cos(phi)])
+                      - 0.5 * ex_w * tangent - 0.5 * ey_h * up
+                      + np.array([0.0, rng.uniform(-0.25, 0.25), 0.0]))
+            self._add_plane(origin=origin, ex=tangent, ey=up,
+                            extent=(ex_w, ey_h),
+                            tex=_texture(384, seed + 7 * k + 1))
+
+    def render(self, R_cw, t_cw):
+        """Painter render with a behind-camera cull: a panel on the far
+        side of the ring would otherwise warp through the projective wrap
+        and paint garbage."""
+        R = np.asarray(R_cw, np.float64)
+        t = np.asarray(t_cw, np.float64)
+        img = np.zeros((self.h, self.w), np.float32)
+        for p in self.planes:
+            centre = p["origin"] + 0.5 * p["extent"][0] * p["ex"] \
+                + 0.5 * p["extent"][1] * p["ey"]
+            if (R @ centre + t)[2] < 0.5:
+                continue
+            th, tw = p["tex"].shape
+            sx = p["extent"][0] / tw
+            sy = p["extent"][1] / th
+            a = R @ (p["ex"] * sx)
+            b = R @ (p["ey"] * sy)
+            c = R @ p["origin"] + t
+            H = self.K @ np.stack([a, b, c], axis=1)
+            warped = cv2.warpPerspective(
+                p["tex"], H, (self.w, self.h), flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0)
+            mask = warped >= 0
+            img[mask] = warped[mask]
+        return img
+
+
+def ring_path(n_frames, circuits=1.15, r_cam=2.5):
+    """Orbit inside the ring looking radially outward. Returns
+    (R_cw, t_cw) list; the final ~0.15 circuit revisits the start."""
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * circuits * i / n_frames
+        s, c = np.sin(th), np.cos(th)
+        C = r_cam * np.array([s, 0.0, c])
+        # camera axes in world: x = tangent, y = down/up, z = outward
+        R_wc = np.array([[c, 0.0, s],
+                         [0.0, 1.0, 0.0],
+                         [-s, 0.0, c]])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ C
+        poses.append((R_cw.astype(np.float32), t_cw.astype(np.float32)))
+    return poses
+
+
 def camera_path(n_frames, step=0.04, seed=5):
     """Sideways translation with gentle yaw — good parallax, no pure
     rotation. Returns list of (R_cw, t_cw) world->camera."""

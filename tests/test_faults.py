@@ -110,3 +110,89 @@ def test_bad_imu_forced_reset():
             break
     assert getattr(tr, "bad_imu", False), "bad-IMU reset never fired"
     assert not tr.imu_ready
+
+
+def test_imu_dead_reckoning_through_dropout():
+    """IMU dead-reckoning through RECENTLY_LOST (reference Tracking.cc:
+    1838-1851): after IMU init, 0.5 s of black frames must NOT lose the
+    map — the pose dead-reckons from the preintegration chain, trajectory
+    entries keep flowing, and tracking re-acquires when imagery returns."""
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    calib = imu.make_calib(np.eye(3), np.zeros(3), 1.7e-4, 2e-3, 1.9e-5,
+                           3e-3, 200.0)
+    b = 0.12
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=96, max_lm=8000, n_levels=4,
+                                 baseline=b, min_stereo_init_feats=200)
+    tr = tracking.Tracker(cam, cfg, imu_calib=calib)
+    rng = np.random.default_rng(1)
+    prev_t = -0.05
+    black = np.zeros((H, W), np.float32)
+    states = []
+    dropout = range(42, 52)          # 0.5 s of visual dropout
+    for i in range(75):
+        t = i * 0.05
+        R, tc = analytic_pose(t)
+        if i in dropout:
+            il = ir = black
+        else:
+            il = world.render(R.astype(np.float32), tc.astype(np.float32))
+            ir = world.render(R.astype(np.float32),
+                              (tc - np.asarray([b, 0, 0])).astype(
+                                  np.float32))
+        ts_i, acc, gyr = imu_between(prev_t, t, rng=rng, noise_g=2.4e-3,
+                                     noise_a=2.8e-2)
+        st, pose = tr.track_stereo_inertial(il, ir, t, acc, gyr, ts_i)
+        states.append(st)
+        if i == min(dropout) - 1:
+            assert tr.imu_ready, "IMU must be initialized before dropout"
+        prev_t = t
+    assert "LOST" not in states, states
+    # dead-reckoning kept producing poses during the dropout
+    assert all(states[i] in ("OK", "RECENTLY_LOST") for i in dropout)
+    # re-acquired after imagery returned
+    assert states[-1] == "OK", states[-10:]
+    tr.flush()
+    assert len(tr.trajectory) >= 70
+
+
+def test_keyframe_slot_recycling():
+    """Keyframe capacity must RECYCLE culled slots (reference maps
+    grow/cull indefinitely; an append-only allocator silently stops
+    mapping at max_kf). A camera oscillating over the same ground keeps
+    triggering inserts via the max-interval condition while culling marks
+    most of them redundant — insertion must continue far past max_kf
+    total inserts, and the trajectory must stay finite."""
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    max_kf = 12
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=max_kf, max_lm=8000, n_levels=4,
+                                 min_init_matches=60, min_init_points=40,
+                                 max_kf_interval=6)
+    tr = tracking.Tracker(cam, cfg)
+    from morb_slam_tpu import lie
+    states = []
+    for i in range(170):
+        # oscillate over mapped ground (parallax-rich but redundant)
+        x = 0.55 + 0.55 * np.sin(i * 0.09)
+        center = np.array([x, 0.0, 0.0], np.float32)
+        yaw = 0.05 * np.sin(i * 0.05)
+        R_wc = np.asarray(lie.so3_exp(jnp.asarray([0.0, yaw, 0.0],
+                                                  jnp.float32)))
+        R_cw = R_wc.T.astype(np.float32)
+        t_cw = (-R_cw @ center).astype(np.float32)
+        st, _ = tr.track_mono(world.render(R_cw, t_cw), ts=float(i))
+        states.append(st)
+    tr.flush()
+    ok = sum(1 for s in states if s == "OK")
+    assert ok > 0.8 * len(states), (ok, len(states))
+    # total inserts far beyond capacity => slots were recycled
+    assert tr.kf_seq > max_kf + 3, (tr.kf_seq, max_kf)
+    assert tr.n_kf_host <= max_kf
+    traj = tr.trajectory_world()
+    pts = np.asarray([p for _, p in traj])
+    assert np.isfinite(pts).all()

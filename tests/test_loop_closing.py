@@ -7,9 +7,95 @@ from morb_slam_tpu import alignment, cameras, frontend
 from morb_slam_tpu.pipeline import tracking
 from morb_slam_tpu.vocab import tree
 
-from synthetic_world import PlaneWorld, camera_path
+from synthetic_world import PlaneWorld, RingWorld, camera_path, ring_path
 
 W, H, FX = 384, 288, 300.0
+
+
+def test_live_loop_closure_ring_circuit():
+    """LIVE loop closure through the full pipeline: a stereo circuit of the
+    ring world (covisibility genuinely breaks — panels leave the frustum
+    after ~40 deg, nothing global stays in view), 1.3 circuits, drift
+    accumulates, and on revisiting the start the loop must fire from
+    INSIDE _insert_keyframe: BoW detection -> Sim3 RANSAC -> guided verify
+    -> temporal consistency -> essential graph + SearchAndFuse + GBA
+    (reference LoopClosing::Run end-to-end, LoopClosing.cc:81-307). The
+    resolved (post-correction) trajectory must beat the raw live poses."""
+    world = RingWorld(np.array([[FX, 0, W / 2], [0, FX, H / 2],
+                                [0, 0, 1.0]]), W, H, seed=0)
+    N = 300
+    poses = ring_path(N, circuits=1.3)
+    b = 0.1
+    ocfg = frontend.OrbConfig(n_features=500, n_levels=4)
+    descs = []
+    for R, t in poses[::25]:
+        f = frontend.extract_orb(
+            jnp.asarray(world.render(R, t), jnp.float32), ocfg)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = tree.train(np.concatenate(descs), k=8, depth=3, iters=4)
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=96, max_lm=16000, n_levels=4,
+                                 baseline=b, th_depth=60.0,
+                                 min_stereo_init_feats=150,
+                                 vel_rot_damp=0.9)
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    tr = tracking.Tracker(cam, cfg, voc=voc)
+    tr.pipelined = False        # deterministic per-frame decisions
+    gt_centers = []
+    live_centers = []
+    live_idx = []
+    for i, (R, t) in enumerate(poses):
+        Rw = np.asarray(R)
+        c = -Rw.T @ np.asarray(t)
+        t_r = -Rw @ (c + Rw.T @ np.array([b, 0, 0], np.float32))
+        st, pose = tr.track_stereo(
+            world.render(Rw, np.asarray(t)),
+            world.render(Rw, t_r.astype(np.float32)), ts=float(i) * 0.05)
+        gt_centers.append(c)
+        if pose is not None and st == "OK":
+            Rc, tc = pose
+            live_centers.append(-np.asarray(Rc).T @ np.asarray(tc))
+            live_idx.append(i)
+    tr.flush()
+    assert tr.n_loops_closed >= 1, "no live loop closure on the circuit"
+    assert len(live_idx) > 0.9 * N
+
+    gt_arr = np.asarray(gt_centers, np.float32)
+    raw = np.asarray(live_centers, np.float32)
+    raw_of = dict(zip(live_idx, raw))
+
+    traj = tr.trajectory_world()
+    post_of = {}
+    for ts, p in traj:
+        post_of[int(round(ts / 0.05))] = np.asarray(p)
+
+    # loop-gap metric: frames one full circuit apart sit at the SAME true
+    # position; the drift gap between their estimates must shrink sharply
+    # once the loop is welded (a global-alignment ATE washes this out —
+    # most of the circuit keeps its interior drift, as in the reference,
+    # where only GBA polishes the interior).
+    period = int(round(N / 1.3))     # frames per circuit
+    def mean_gap(est_of):
+        gaps = []
+        for i in range(period, N):
+            j = i - period
+            if i in est_of and j in est_of:
+                gaps.append(np.linalg.norm(est_of[i] - est_of[j]))
+        return float(np.mean(gaps))
+
+    gap_raw = mean_gap(raw_of)
+    gap_post = mean_gap(post_of)
+    assert gap_post < 0.5 * gap_raw, (gap_post, gap_raw)
+    # and the resolved trajectory must not be WORSE than the raw one
+    common = sorted(set(raw_of) & set(post_of))
+    rmse_raw, _, _, _ = alignment.ate_rmse(
+        jnp.asarray(np.stack([raw_of[i] for i in common])),
+        jnp.asarray(gt_arr[common]), with_scale=False)
+    rmse_post, _, _, _ = alignment.ate_rmse(
+        jnp.asarray(np.stack([post_of[i] for i in common])),
+        jnp.asarray(gt_arr[common]), with_scale=False)
+    assert float(rmse_post) < 1.1 * float(rmse_raw), (float(rmse_post),
+                                                      float(rmse_raw))
 
 
 def _drifted_revisit_map(s_drift=1.08, rot_drift=(0.0, 0.03, 0.01),
@@ -134,6 +220,16 @@ def test_loop_closes_on_drifted_revisit():
     rmse_before = center_rmse()
     assert rmse_before > 0.2, rmse_before     # the drift is material
 
+    # seed world-frame keyframe velocities: the loop correction must
+    # rotate each by its orientation correction (reference
+    # LoopClosing.cc:1120-1126 SetVelocity(Rcor*Vw)), which preserves the
+    # BODY-frame velocity R_cw @ v_w exactly
+    rng_v = np.random.default_rng(3)
+    v_w = rng_v.normal(0, 1.0, (tr.m.kf_v.shape[0], 3)).astype(np.float32)
+    tr.m = tr.m._replace(kf_v=jnp.asarray(v_w))
+    from morb_slam_tpu import lie as lie_mod
+    v_body_before = np.asarray(lie_mod.matvec(tr.m.kf_R, tr.m.kf_v))
+
     closer = lc.LoopCloser(cfg)
     fired = []
     for kf_id in (18, 19):
@@ -145,6 +241,20 @@ def test_loop_closes_on_drifted_revisit():
     assert rmse_after < 0.4 * rmse_before, (rmse_before, rmse_after)
     assert np.isfinite(np.asarray(tr.m.kf_t)).all()
     assert np.isfinite(np.asarray(tr.m.lm_pos)).all()
+    # velocity correction: body-frame velocity invariant (up to the
+    # essential-graph scale, which the mono weld may inject)
+    v_body_after = np.asarray(lie_mod.matvec(tr.m.kf_R, tr.m.kf_v))
+    valid = np.asarray(tr.m.kf_valid)
+    ratios = (np.linalg.norm(v_body_after[valid], axis=1)
+              / np.clip(np.linalg.norm(v_body_before[valid], axis=1),
+                        1e-9, None))
+    cosang = np.sum(v_body_after[valid] * v_body_before[valid], axis=1) / \
+        np.clip(np.linalg.norm(v_body_after[valid], axis=1)
+                * np.linalg.norm(v_body_before[valid], axis=1), 1e-9, None)
+    assert np.isfinite(v_body_after).all()
+    assert np.all(cosang > 0.999), cosang.min()
+    # uniform scale across KFs (each divided by its node's Sim3 scale)
+    assert ratios.max() / ratios.min() < 1.2, (ratios.min(), ratios.max())
 
 
 def test_no_corruption_on_forward_path():

@@ -66,3 +66,25 @@ def test_sharded_place_recognition():
     assert int(ids_s[0]) == int(ids_r[0]) == 11
     np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_r),
                                atol=1e-5)
+
+
+def test_distributed_entry_points():
+    """Multi-host wiring (parallel.distributed): the single-process no-op
+    initialize, the global mesh over every (virtual) device, the padded
+    distributed GBA, and the scaling-efficiency measurement."""
+    from morb_slam_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)          # must be a no-op
+    mesh = distributed.global_obs_mesh()
+    assert mesh.devices.size == 8
+
+    rng = np.random.default_rng(43)
+    prob, _ = build_problem(rng)
+    R, t, X, info = distributed.global_ba_distributed(prob, mesh,
+                                                      n_iters=3,
+                                                      cg_iters=20)
+    assert float(info["costs"][-1]) < 0.8 * float(info["cost0"])
+
+    ips_n, ips_1, eff = distributed.ba_scaling_efficiency(prob, n_iters=1,
+                                                          cg_iters=8)
+    assert ips_n > 0 and ips_1 > 0 and np.isfinite(eff)

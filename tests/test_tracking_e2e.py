@@ -54,6 +54,19 @@ def test_map_grows(run_sequence):
     assert int(jnp.sum(tracker.m.lm_valid)) > 200
 
 
+def test_kf_rate_bounded(run_sequence):
+    """Regression guard for the round-3 NeedNewKeyFrame miscalibration:
+    on a smooth, fully-visible synthetic path the trigger must fire well
+    below the max rate (one KF per min_kf_interval would be 20 KFs for
+    this 60-frame path; the reference inserts only when tracked inliers
+    genuinely decay vs the reference KF, Tracking.cc:2840-2994)."""
+    tracker, states, est, gt = run_sequence
+    frames = len(states)
+    max_rate = frames // tracker.cfg.min_kf_interval
+    assert tracker.n_kf_host < 0.5 * max_rate, \
+        (tracker.n_kf_host, frames, max_rate)
+
+
 def test_ate_small(run_sequence):
     tracker, states, est, gt = run_sequence
     traj = tracker.trajectory_world()
