@@ -441,15 +441,19 @@ def _track_core(fr, m, last, last_feat_lm, R_last, t_last, vel_R, vel_t,
     # nRefMatches for c2's thRefRatio test, close-point starvation for c1c)
     # reference nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs) with
     # nMinObs = 3 (2 while the map holds <= 2 KFs) — Tracking.cc:2853-2860.
-    # Counting ALL associations instead inflates the baseline (the KF's
-    # association table is systematically larger than a frame's pose-opt
-    # inlier set) and fires the trigger at the maximum rate.
+    # Only the STEREO close-point starvation condition (c1c) consumes this
+    # count (c2's baseline is the host-side decayed-inliers test), so the
+    # mono program skips the per-frame observation histogram entirely.
     ref_lm2 = m.kf_feat_lm[out.ref_kf]
     lm_c = jnp.clip(ref_lm2, 0, None)
-    obs = ms.lm_obs_count(m)
-    min_obs = jnp.where(m.n_kf <= 2, 2, 3)
-    ref_tracked = jnp.sum((ref_lm2 >= 0) & m.kf_feat_valid[out.ref_kf] &
-                          m.lm_valid[lm_c] & (obs[lm_c] >= min_obs))
+    if cfg.baseline > 0:
+        obs = ms.lm_obs_count(m)
+        min_obs = jnp.where(m.n_kf <= 2, 2, 3)
+        ref_tracked = jnp.sum((ref_lm2 >= 0) & m.kf_feat_valid[out.ref_kf]
+                              & m.lm_valid[lm_c] & (obs[lm_c] >= min_obs))
+    else:
+        ref_tracked = jnp.sum((ref_lm2 >= 0) & m.kf_feat_valid[out.ref_kf]
+                              & m.lm_valid[lm_c])
     close_m = cfg.th_depth * cfg.baseline if cfg.baseline > 0 else 0.0
     close = fr.valid & (fr.depth > 0) & (fr.depth < close_m)
     tracked = out.feat_lm >= 0

@@ -146,3 +146,42 @@ ORBextractor.nLevels: 4
     assert rc == 0
     assert os.path.exists(traj) and len(open(traj).read().strip()) > 0
     assert os.path.exists(ply) and os.path.exists(svg)
+
+
+def test_run_live_on_video_file(tmp_path):
+    """Live-capture CLI (reference live example mains class): drive
+    examples.run_live on a rendered VIDEO FILE through cv2.VideoCapture —
+    the same code path a V4L2 device or RTSP stream takes."""
+    import cv2
+    import numpy as np
+    from synthetic_world import PlaneWorld, camera_path
+    from morb_slam_tpu.examples import run_live
+
+    W, H, FX = 384, 288, 300.0
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    video = str(tmp_path / "seq.avi")
+    wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 20.0,
+                         (W, H), isColor=False)
+    assert wr.isOpened()
+    for R, t in camera_path(40, step=0.05):
+        wr.write(np.clip(world.render(R, t), 0, 255).astype(np.uint8))
+    wr.release()
+
+    yaml = tmp_path / "cam.yaml"
+    yaml.write_text(
+        'File.version: "1.0"\n'
+        "Camera.type: PinHole\n"
+        f"Camera1.fx: {FX}\nCamera1.fy: {FX}\n"
+        f"Camera1.cx: {W / 2}\nCamera1.cy: {H / 2}\n"
+        f"Camera.width: {W}\nCamera.height: {H}\n"
+        "Camera.fps: 20\n"
+        "ORBextractor.nFeatures: 500\n"
+        "ORBextractor.nLevels: 4\n")
+    traj = str(tmp_path / "traj.txt")
+    rc = run_live.main(["--source", video, "--settings", str(yaml),
+                        "--traj", traj, "--max-frames", "40",
+                        "--max-kf", "32", "--max-lm", "6000"])
+    assert rc == 0
+    lines = open(traj).readlines()
+    assert len(lines) > 20, len(lines)
