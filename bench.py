@@ -186,11 +186,13 @@ def mono_inertial_fisheye_run():
     tr = tracking.Tracker(cam, cfg, imu_calib=calib)
     rng = np.random.default_rng(4)
     prev_t = -0.05
-    n_frames = 85
+    n_frames = 100
     gt = []
     t_start = None
     n_timed = 0
-    warmup = 55          # steady state: past IMU init + fused-VI compiles
+    warmup = 70          # steady state: past IMU init + the KB8 variants of
+                         # the fused-VI and mapping programs (first compile
+                         # lands at the first post-init insert, ~frame 50)
     for i in range(n_frames):
         t = i * 0.05
         R, tc = analytic_pose(t)

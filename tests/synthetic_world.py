@@ -208,21 +208,39 @@ def analytic_pose(t, speed=1.0):
     return R_cw, -R_cw @ center
 
 
-def imu_between(t0, t1, freq=200.0, rng=None, noise_g=0.0, noise_a=0.0):
+def ring_pose(t, circuits=1.3, n_frames=300, r_cam=2.5, fps=20.0):
+    """Continuous version of ring_path: frame i = t * fps. FLOAT64 (IMU
+    generation differentiates this trajectory)."""
+    th = 2 * np.pi * circuits * (t * fps) / n_frames
+    s_, c_ = np.sin(th), np.cos(th)
+    C = r_cam * np.array([s_, 0.0, c_])
+    R_wc = np.array([[c_, 0.0, s_],
+                     [0.0, 1.0, 0.0],
+                     [-s_, 0.0, c_]])
+    R_cw = R_wc.T
+    return R_cw, -R_cw @ C
+
+
+def imu_between(t0, t1, freq=200.0, rng=None, noise_g=0.0, noise_a=0.0,
+                pose_fn=None):
     """IMU samples in (t0, t1]: finite-difference body rates and specific
-    force from the analytic trajectory (f64 end to end)."""
+    force from the analytic trajectory (f64 end to end). `pose_fn`
+    replaces the default analytic_pose (e.g. ring_pose for circuits)."""
     from scipy.spatial.transform import Rotation as _Rot
+    if pose_fn is None:
+        pose_fn = analytic_pose
+    global analytic_pose_saved
     h = 2e-3
     ts = np.arange(np.floor(t0 * freq) + 1, np.floor(t1 * freq) + 1) / freq
     acc, gyr = [], []
     for t in ts:
-        R_cw, _ = analytic_pose(t)
+        R_cw, _ = pose_fn(t)
         R_wb = R_cw.T
-        R_cw2, _ = analytic_pose(t + h)
+        R_cw2, _ = pose_fn(t + h)
         W = R_wb.T @ R_cw2.T
         w = _Rot.from_matrix(W).as_rotvec() / h
         def center(tt):
-            Rc, tc = analytic_pose(tt)
+            Rc, tc = pose_fn(tt)
             return -Rc.T @ tc
         a_w = (center(t + h) - 2 * center(t) + center(t - h)) / h ** 2
         f_b = R_wb.T @ (a_w - GRAVITY_W)

@@ -185,3 +185,42 @@ def test_run_live_on_video_file(tmp_path):
     assert rc == 0
     lines = open(traj).readlines()
     assert len(lines) > 20, len(lines)
+
+
+def test_deterministic_replay():
+    """Deterministic-replay harness (SURVEY §4/§5 race-detection
+    substitution): the functional-snapshot design makes a whole SLAM run a
+    pure function of its inputs — two identical runs must produce
+    BIT-IDENTICAL trajectories and maps. The reference cannot promise
+    this (tracking/mapping/loop threads race on the shared Atlas); here
+    it is the contract that replaces the lock hierarchy, and this test is
+    the race detector: any hidden nondeterminism (unseeded RNG, host
+    clock leaking into decisions, iteration-order dependence) breaks it."""
+    import numpy as np
+    from synthetic_world import PlaneWorld, camera_path
+    from morb_slam_tpu import cameras
+    from morb_slam_tpu.pipeline import tracking
+
+    W, H, FX = 384, 288, 300.0
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    poses = camera_path(35, step=0.05)
+    frames = [world.render(R, t) for R, t in poses]
+
+    def run():
+        cfg = tracking.TrackerConfig(width=W, height=H, focal=FX,
+                                     n_feat=500, max_kf=32, max_lm=6000,
+                                     n_levels=4, min_init_matches=60,
+                                     min_init_points=40)
+        tr = tracking.Tracker(cameras.pinhole(FX, FX, W / 2, H / 2), cfg)
+        for i, img in enumerate(frames):
+            tr.track_mono(img, ts=float(i))
+        tr.flush()
+        traj = np.asarray([p for _, p in tr.trajectory_world()])
+        return traj, np.asarray(tr.m.lm_pos), np.asarray(tr.m.kf_t)
+
+    t1, lm1, kt1 = run()
+    t2, lm2, kt2 = run()
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(lm1, lm2)
+    np.testing.assert_array_equal(kt1, kt2)
