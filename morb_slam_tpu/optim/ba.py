@@ -126,61 +126,139 @@ def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
     """Levenberg-Marquardt with dense-window Schur reduction.
 
     Returns (R, t, X, info) where info carries per-iteration costs.
+
+    TPU layout notes (this routine is the framework's hottest solver — it
+    runs on every keyframe insert): random-index scatter-adds serialize on
+    TPU (~60 ns/row), so the assembly avoids them entirely:
+
+      * observations are sorted ONCE per solve by the joint (landmark,
+        keyframe) index, so the landmark-side reductions become a single
+        sorted segment_sum producing B, Hll and bl together;
+      * the pose-side reductions (K is small) are one-hot matmuls on the
+        MXU instead of scatters;
+      * each iteration linearizes once: the residual/Jacobian terms of the
+        last ACCEPTED state are carried through the scan, so the
+        accept/reject cost check shares the linearization with the next
+        step (the reference g2o LM re-evaluates chi2 the same way).
     """
     K = p.R.shape[0]
     L = p.X.shape[0]
+    O = p.obs_uv.shape[0]
     f32 = p.obs_uv.dtype
     kf_opt_f = p.kf_opt.astype(f32)
     lm_opt_f = p.lm_opt.astype(f32)
 
-    def lm_step(R, t, X, lam):
-        r, Jp, Jl, w, _ = _obs_terms(p, R, t, X, robust=True)
+    # ---- once-per-solve setup: sort observations by joint index (masked
+    # rows pushed past the end so they fall off the segment table).
+    j = jnp.where(p.obs_mask, p.obs_lm * K + p.obs_kf, L * K)
+    order = jnp.argsort(j)
+    obs_kf = p.obs_kf[order]
+    obs_lm = p.obs_lm[order]
+    j_s = j[order]
+    e_kf = jax.nn.one_hot(obs_kf, K, dtype=f32)               # (O, K)
+    lm_opt_obs = lm_opt_f[obs_lm] * p.obs_mask[order]         # (O,)
+    # per-obs static data, transposed to O-minor layouts (TPU tiles the two
+    # minor dims to (8,128): any (O, a, b) block array pads b to 128 — a
+    # 28x HBM blowup for 6x6 blocks. Everything per-obs here is (..., O).)
+    uvT = p.obs_uv[order].T                                   # (2, O)
+    urT = p.obs_ur[order]                                     # (O,)
+    infoT = p.obs_info[order]
+    maskT = p.obs_mask[order].astype(f32)
+    is_stereo = jnp.isfinite(urT)
+    ur0 = jnp.nan_to_num(urT)
+    delta2 = jnp.where(is_stereo, HUBER2_STEREO, HUBER2_MONO)
+    eyeK = jnp.eye(6, dtype=f32)
+    eyeL = jnp.eye(3, dtype=f32)
+    diagK = jnp.arange(K)
+    hi = jax.lax.Precision.HIGHEST
 
-        # per-entity blocks via segment sums
-        Hpp = jax.ops.segment_sum(
-            jnp.einsum('oia,o,oib->oab', Jp, w, Jp, precision='highest'),
-            p.obs_kf, num_segments=K)                         # (K, 6, 6)
-        Hll = jax.ops.segment_sum(
-            jnp.einsum('oia,o,oib->oab', Jl, w, Jl, precision='highest'),
-            p.obs_lm, num_segments=L)                         # (L, 3, 3)
-        bp = -jax.ops.segment_sum(
-            jnp.einsum('oia,o,oi->oa', Jp, w, r, precision='highest'),
-            p.obs_kf, num_segments=K)                         # (K, 6)
-        bl = -jax.ops.segment_sum(
-            jnp.einsum('oia,o,oi->oa', Jl, w, r, precision='highest'),
-            p.obs_lm, num_segments=L)                         # (L, 3)
-        Wpl = jnp.einsum('oia,o,oib->oab', Jp, w, Jl,
-                         precision='highest')                 # (O, 6, 3)
+    def terms_of(R, t, X):
+        """O-minor residuals/Jacobians: r (3,O), Jp (3,6,O), Jl (3,3,O)."""
+        RkT = jnp.einsum('kab,ok->abo', R, e_kf, precision=hi)  # (3,3,O)
+        tkT = jnp.einsum('ka,ok->ao', t, e_kf, precision=hi)    # (3, O)
+        Xl = X[obs_lm]                                          # (O, 3)
+        XcT = jnp.einsum('abo,ob->ao', RkT, Xl, precision=hi) + tkT
+        x, y, z = XcT[0], XcT[1], XcT[2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        iz = 1.0 / zs
+        iz2 = iz * iz
+        r0 = x * iz - uvT[0]
+        r1 = y * iz - uvT[1]
+        r2 = jnp.where(is_stereo, (x - p.baseline) * iz - ur0, 0.0)
+        rT = jnp.stack([r0, r1, r2])                            # (3, O)
+        zero = jnp.zeros_like(z)
+        J_pt = jnp.stack([
+            jnp.stack([iz, zero, -x * iz2]),
+            jnp.stack([zero, iz, -y * iz2]),
+            jnp.stack([jnp.where(is_stereo, iz, zero), zero,
+                       jnp.where(is_stereo, -(x - p.baseline) * iz2, zero)]),
+        ])                                                      # (3, 3, O)
+        # Jp = J_pt @ [I | -hat(Xc)] per obs; write the blocks directly
+        mx, my, mz = -x, -y, -z
+        hatT = jnp.stack([
+            jnp.stack([zero, -mz, my]),
+            jnp.stack([mz, zero, -mx]),
+            jnp.stack([-my, mx, zero]),
+        ])                                                      # (3,3,O) -hat
+        JpT = jnp.concatenate(
+            [J_pt, jnp.einsum('ijo,jko->iko', J_pt, hatT)], axis=1)  # (3,6,O)
+        JlT = jnp.einsum('ijo,jko->iko', J_pt, RkT)             # (3,3,O)
+        chi2 = jnp.sum(rT * rT, axis=0) * infoT
+        w_rob = huber_weight(chi2, delta2)
+        w = infoT * w_rob * maskT * (z > 0)
+        return rT, JpT, JlT, w
+
+    def cost_of(terms):
+        rT, _, _, w = terms
+        return jnp.sum(w * jnp.sum(rT * rT, axis=0))
+
+    def lm_step(terms, R, t, X, lam):
+        rT, JpT, JlT, w = terms
+
+        # pose side: one-hot matmuls (MXU), no scatter
+        hpp_o = jnp.einsum('iao,ibo->abo', JpT, JpT).reshape(36, O) \
+            * w[None, :]
+        Hpp = jnp.einsum('xo,ok->kx', hpp_o, e_kf,
+                         precision=hi).reshape(K, 6, 6)
+        gp_o = jnp.einsum('iao,io->ao', JpT, rT) * w[None, :]
+        bp = -jnp.einsum('xo,ok->kx', gp_o, e_kf, precision=hi)
+
+        # landmark + off-diagonal side: ONE sorted segment_sum over the
+        # joint (lm, kf) index carrying [Wpl | Hll | bl] per observation
+        Wpl = jnp.einsum('iao,ibo->abo', JpT, JlT).reshape(18, O) \
+            * (w * lm_opt_obs)[None, :]
+        hll_o = jnp.einsum('iao,ibo->abo', JlT, JlT).reshape(9, O) \
+            * w[None, :]
+        gl_o = jnp.einsum('iao,io->ao', JlT, rT) * w[None, :]
+        payload = jnp.concatenate([Wpl, hll_o, gl_o], axis=0).T  # (O, 30)
+        seg = jax.ops.segment_sum(payload, j_s, num_segments=L * K + 1,
+                                  indices_are_sorted=True)[:L * K]
+        seg = seg.reshape(L, K, 30)
+        Bt = seg[:, :, :18].reshape(L, K, 6, 3)
+        Hll = seg[:, :, 18:27].sum(axis=1).reshape(L, 3, 3)
+        bl = -seg[:, :, 27:30].sum(axis=1)
 
         # damping (LM): scale diagonals
-        eyeK = jnp.eye(6, dtype=f32)
-        eyeL = jnp.eye(3, dtype=f32)
         Hpp = Hpp + lam * eyeK * jnp.maximum(
             jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeK
         Hll_d = Hll + lam * eyeL * jnp.maximum(
             jnp.diagonal(Hll, axis1=-2, axis2=-1), 1e-6)[..., None] * eyeL
 
-        # fixed landmarks: make their block identity, rhs zero
+        # fixed landmarks: make their block identity, rhs zero (their B
+        # columns are already zeroed via lm_opt_obs)
         Hll_d = jnp.where(p.lm_opt[:, None, None], Hll_d,
                           jnp.broadcast_to(eyeL, Hll_d.shape))
         bl = bl * lm_opt_f[:, None]
         Hll_inv = _inv3x3(Hll_d)                              # (L, 3, 3)
 
-        # dense B (6K, 3L) via scatter of per-obs blocks; FIXED landmarks
-        # must not couple (their Hll block is identity-replaced — including
-        # them would subtract a bogus B B^T from the Schur system)
-        B = jnp.zeros((K, 6, L, 3), f32)
-        B = B.at[p.obs_kf, :, p.obs_lm, :].add(
-            Wpl * (p.obs_mask * lm_opt_f[p.obs_lm])[:, None, None])
-        B = B.reshape(K * 6, L, 3)
+        B = Bt.transpose(1, 2, 0, 3).reshape(K * 6, L, 3)
 
         # S = Hpp_dense - B Hll^-1 B^T   (MXU)
         BC = jnp.einsum('mlb,lbc->mlc', B, Hll_inv,
                         precision='highest')                  # (6K, L, 3)
-        S_off = jnp.einsum('mlc,nlc->mn', BC.reshape(K * 6, L, 3),
-                           B.reshape(K * 6, L, 3), precision='highest')
+        S_off = jnp.einsum('mlc,nlc->mn', BC, B, precision='highest')
         Hpp_dense = jnp.zeros((K, 6, K, 6), f32)
-        Hpp_dense = Hpp_dense.at[jnp.arange(K), :, jnp.arange(K), :].set(Hpp)
+        Hpp_dense = Hpp_dense.at[diagK, :, diagK, :].set(Hpp)
         S = Hpp_dense.reshape(K * 6, K * 6) - S_off
         b_schur = (bp.reshape(K * 6)
                    - jnp.einsum('mlc,lc->m', BC, bl, precision='highest'))
@@ -203,21 +281,23 @@ def ba_solve(p: BAProblem, n_iters: int = 10, lambda0: float = 1e-4):
         return R_new, t_new, X_new
 
     def iteration(carry, _):
-        R, t, X, lam, cost = carry
-        R_new, t_new, X_new = lm_step(R, t, X, lam)
-        new_cost = _cost(p, R_new, t_new, X_new)
+        R, t, X, terms, lam, cost = carry
+        R_c, t_c, X_c = lm_step(terms, R, t, X, lam)
+        terms_c = terms_of(R_c, t_c, X_c)
+        new_cost = cost_of(terms_c)
         accept = new_cost < cost
-        R, t, X = jax.tree.map(
-            lambda n, o: jnp.where(accept, n, o), (R_new, t_new, X_new),
-            (R, t, X))
+        sel = lambda n, o: jnp.where(accept, n, o)
+        R, t, X = jax.tree.map(sel, (R_c, t_c, X_c), (R, t, X))
+        terms = jax.tree.map(sel, terms_c, terms)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-9, 1e4)
-        return (R, t, X, lam, cost), cost
+        return (R, t, X, terms, lam, cost), cost
 
-    cost0 = _cost(p, p.R, p.t, p.X)
-    (R, t, X, lam, cost), costs = jax.lax.scan(
-        iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
+    terms0 = terms_of(p.R, p.t, p.X)
+    cost0 = cost_of(terms0)
+    (R, t, X, _, lam, cost), costs = jax.lax.scan(
+        iteration, (p.R, p.t, p.X, terms0, jnp.asarray(lambda0, f32), cost0),
         None, length=n_iters)
     return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
 
