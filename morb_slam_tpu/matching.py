@@ -102,10 +102,7 @@ def search_by_projection(lm_pos, lm_normal, lm_dist_max, lm_desc, lm_valid,
 
     dmat = hamming.hamming_matrix(lm_desc, feat_desc)
     dmat = jnp.where(cand, dmat, BIG)
-    order = jnp.argsort(dmat, axis=1)
-    best_feat = order[:, 0]
-    best = jnp.take_along_axis(dmat, order[:, :2], axis=1)
-    best_dist, second = best[:, 0], best[:, 1]
+    best_dist, best_feat, second = hamming.top2_min(dmat)
     ok = (best_dist <= max_dist_th) & (
         best_dist.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     feat_lm = _resolve_conflicts(best_feat.astype(jnp.int32),
@@ -158,10 +155,7 @@ def search_last_frame(last_uv, last_desc, last_lm, last_valid, cur_uv,
              (cur_octave[None, :] <= proj_pred[:, None] + 1)
     cand = close & oct_ok & has_lm[:, None] & cur_valid[None, :]
     dmat = jnp.where(cand, hamming.hamming_matrix(last_desc, cur_desc), BIG)
-    top2, top2_idx = jax.lax.top_k(-dmat, 2)
-    best_feat = top2_idx[:, 0]
-    best_dist = -top2[:, 0]
-    second = -top2[:, 1]
+    best_dist, best_feat, second = hamming.top2_min(dmat)
     # ratio test guards against the repetitive-texture false matches that
     # would otherwise confirm an overshooting motion-model prediction
     ok = (best_dist <= hamming.TH_HIGH) & (

@@ -50,6 +50,20 @@ def hamming_matrix_mxu(a, b):
     return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 
+def top2_min(d, big=jnp.int32(1 << 20)):
+    """Row-wise best / best-index / second-best of a distance matrix.
+
+    Three VPU reduction passes instead of jax.lax.top_k, which lowers to a
+    (N, M) sort on TPU (~0.4 ms per 1200x1200 call — the matchers run
+    dozens of these per mapping step)."""
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)
+    second = jnp.min(jnp.where(cols[None, :] == best_idx[:, None],
+                               jnp.asarray(big, d.dtype), d), axis=1)
+    return best, best_idx, second
+
+
 def match_nn(dist, a_valid, b_valid, max_dist=TH_LOW, ratio=1.0,
              cross_check=True):
     """Nearest-neighbour descriptor matching with Lowe ratio + cross check.
@@ -66,12 +80,7 @@ def match_nn(dist, a_valid, b_valid, max_dist=TH_LOW, ratio=1.0,
     """
     big = jnp.int32(1 << 20)
     d = jnp.where(a_valid[:, None] & b_valid[None, :], dist, big)
-    # best and second best along M
-    neg = -d
-    top2, top2_idx = jax.lax.top_k(neg, 2)
-    best = -top2[:, 0]
-    second = -top2[:, 1]
-    best_idx = top2_idx[:, 0]
+    best, best_idx, second = top2_min(d, big)
     ok = (best <= max_dist) & (best.astype(jnp.float32)
                                < ratio * second.astype(jnp.float32))
     if cross_check:

@@ -147,6 +147,233 @@ def ba_solve_sharded(p: ba_mod.BAProblem, mesh: Mesh, n_iters: int = 10,
     return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
 
 
+def partition_problem_by_lm(p: ba_mod.BAProblem, n_devices: int):
+    """Host-side repartition for the landmark-sharded solver: device d owns
+    the contiguous landmark block [d*Lb, (d+1)*Lb) and EVERY observation of
+    those landmarks. Returns a BAProblem whose landmark arrays are padded to
+    L % n == 0 and whose observation arrays are laid out as n equal-length
+    contiguous device blocks (padded rows are masked out).
+
+    This is the data layout of SURVEY.md §5's long-context plan: partition
+    observations so each device owns whole landmark blocks — the Schur
+    landmark work then needs no collective at all.
+    """
+    import numpy as np
+    O = int(p.obs_uv.shape[0])
+    L = int(p.X.shape[0])
+    Lb = -(-L // n_devices)
+    Lpad = Lb * n_devices
+    obs_lm = np.asarray(p.obs_lm)
+    obs_mask = np.asarray(p.obs_mask)
+    owner = np.where(obs_mask, obs_lm // Lb, 0)
+    counts = np.bincount(owner[obs_mask], minlength=n_devices)
+    cap = max(int(counts.max()), 1)
+    cap = -(-cap // 8) * 8
+    sel = np.full((n_devices, cap), -1, np.int64)
+    for d in range(n_devices):
+        rows = np.nonzero(obs_mask & (owner == d))[0]
+        sel[d, :len(rows)] = rows
+    sel_flat = sel.reshape(-1)
+    pad = sel_flat < 0
+    idx = np.where(pad, 0, sel_flat)
+
+    def take(x, fill=None):
+        x = np.asarray(x)
+        out = x[idx]
+        if fill is not None:
+            out[pad] = fill
+        return jnp.asarray(out)
+
+    # padded rows: mask False, landmark = first lm of the owning block
+    # (keeps the local index in range), kf = 0, zero info
+    own_first = np.repeat(np.arange(n_devices) * Lb, cap)
+    obs_lm_new = np.asarray(p.obs_lm)[idx]
+    obs_lm_new[pad] = own_first[pad]
+    lm_pad = np.zeros(Lpad - L, bool)
+    return p._replace(
+        X=jnp.concatenate([p.X, jnp.zeros((Lpad - L, 3), p.X.dtype)]),
+        lm_opt=jnp.concatenate([p.lm_opt, jnp.asarray(lm_pad)]),
+        obs_kf=take(p.obs_kf, 0),
+        obs_lm=jnp.asarray(obs_lm_new),
+        obs_uv=take(p.obs_uv),
+        obs_ur=take(p.obs_ur),
+        obs_info=take(p.obs_info, 0.0),
+        obs_mask=jnp.asarray(~pad),
+    )
+
+
+def ba_solve_pcg_lm_sharded(p: ba_mod.BAProblem, mesh: Mesh,
+                            n_iters: int = 8, cg_iters: int = 40,
+                            lambda0: float = 1e-4):
+    """Landmark-sharded implicit-Schur PCG global BA.
+
+    Requires the layout of `partition_problem_by_lm`: device d owns
+    landmark block d and all of its observations. Everything landmark-sized
+    (Hll, bl, Hll_inv, dxl, X) lives SHARDED; the only collectives are
+
+      * one (K,6,6)+(K,6) psum per LM iteration (pose Hessian assembly),
+      * one (K,6) psum per CG matvec (the B y product),
+      * one scalar psum per iteration (the LM accept/reject cost).
+
+    vs. the observation-sharded solver's two landmark-sized psums per
+    matvec — the measured 8-device scaling was 0.11 there because every
+    device also repeated all L-sized work. Here per-device work is
+    O(obs/n + L/n) with K-sized replication only (CG state, dense solve on
+    the reduced system is nothing landmark-sized).
+
+    Reference behavior covered: Optimizer::GlobalBundleAdjustemnt
+    (/root/reference/src/Optimizer.cc:47) + Marginalize-style Schur
+    (Optimizer.cc:2898), distributed per SURVEY §2.4 P5.
+    """
+    K = p.R.shape[0]
+    L = p.X.shape[0]
+    f32 = p.obs_uv.dtype
+    n = mesh.devices.size
+    Lb = L // n
+    kf_opt_f = p.kf_opt.astype(f32)
+
+    spec = ba_mod.BAProblem(
+        R=P(), t=P(), X=P(OBS_AXIS),
+        obs_kf=P(OBS_AXIS), obs_lm=P(OBS_AXIS), obs_uv=P(OBS_AXIS),
+        obs_ur=P(OBS_AXIS), obs_info=P(OBS_AXIS), obs_mask=P(OBS_AXIS),
+        kf_opt=P(), lm_opt=P(OBS_AXIS), baseline=P())
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=(P(), P(), P(OBS_AXIS), P()))
+    def solve(pl):
+        d = jax.lax.axis_index(OBS_AXIS)
+        lm_loc = pl.obs_lm - d * Lb                       # local lm index
+        lm_opt_l = pl.lm_opt                              # (Lb,)
+        lm_opt_lf = lm_opt_l.astype(f32)
+        lm_opt_obs = lm_opt_lf[lm_loc] * pl.obs_mask
+        eyeK = jnp.eye(6, dtype=f32)
+        eyeL = jnp.eye(3, dtype=f32)
+        pv = pl._replace(obs_lm=lm_loc)                   # local-index view
+
+        def terms_of(R, t, X_l):
+            r, Jp, Jl, w, _ = ba_mod._obs_terms(pv, R, t, X_l, robust=True)
+            return r, Jp, Jl, w
+
+        def cost_of(terms):
+            r, _, _, w = terms
+            return jax.lax.psum(jnp.sum(w * jnp.sum(r * r, axis=-1)),
+                                OBS_AXIS)
+
+        def lm_step(terms, R, t, X_l, lam):
+            r, Jp, Jl, w = terms
+            Hpp = jax.ops.segment_sum(
+                jnp.einsum('oia,o,oib->oab', Jp, w, Jp,
+                           precision='highest'),
+                pl.obs_kf, num_segments=K)
+            bp = -jax.ops.segment_sum(
+                jnp.einsum('oia,o,oi->oa', Jp, w, r, precision='highest'),
+                pl.obs_kf, num_segments=K)
+            Hll = jax.ops.segment_sum(
+                jnp.einsum('oia,o,oib->oab', Jl, w, Jl,
+                           precision='highest'),
+                lm_loc, num_segments=Lb)                  # LOCAL, no psum
+            bl = -jax.ops.segment_sum(
+                jnp.einsum('oia,o,oi->oa', Jl, w, r, precision='highest'),
+                lm_loc, num_segments=Lb)
+            Hpp, bp = jax.lax.psum((Hpp, bp), OBS_AXIS)
+            Wpl = jnp.einsum('oia,o,oib->oab', Jp, w, Jl,
+                             precision='highest') \
+                * lm_opt_obs[:, None, None]
+
+            Hpp_d = Hpp + lam * eyeK * jnp.maximum(
+                jnp.diagonal(Hpp, axis1=-2, axis2=-1),
+                1e-6)[..., None] * eyeK
+            Hll_d = Hll + lam * eyeL * jnp.maximum(
+                jnp.diagonal(Hll, axis1=-2, axis2=-1),
+                1e-6)[..., None] * eyeL
+            Hll_d = jnp.where(lm_opt_l[:, None, None], Hll_d,
+                              jnp.broadcast_to(eyeL, Hll_d.shape))
+            bl_m = bl * lm_opt_lf[:, None]
+            Hll_inv = ba_mod._inv3x3(Hll_d)
+
+            def Btx(xp):
+                """B^T x -> (Lb, 3) local: every obs of a local landmark
+                is local, so NO collective."""
+                return jax.ops.segment_sum(
+                    jnp.einsum('oab,oa->ob', Wpl, xp[pl.obs_kf],
+                               precision='highest'),
+                    lm_loc, num_segments=Lb)
+
+            def By(y_l):
+                """B y -> (K, 6): one small psum."""
+                part = jax.ops.segment_sum(
+                    jnp.einsum('oab,ob->oa', Wpl, y_l[lm_loc],
+                               precision='highest'),
+                    pl.obs_kf, num_segments=K)
+                return jax.lax.psum(part, OBS_AXIS)
+
+            def S_matvec(xp):
+                xp = xp * kf_opt_f[:, None]
+                y = jnp.einsum('lab,lb->la', Hll_inv, Btx(xp),
+                               precision='highest') * lm_opt_lf[:, None]
+                Sx = jnp.einsum('kab,kb->ka', Hpp_d, xp,
+                                precision='highest') - By(y)
+                return Sx * kf_opt_f[:, None]
+
+            y0 = jnp.einsum('lab,lb->la', Hll_inv, bl_m,
+                            precision='highest')
+            rhs = (bp - By(y0)) * kf_opt_f[:, None]
+            Minv = ba_mod._inv6x6(Hpp_d)
+
+            def precond(v):
+                return jnp.einsum('kab,kb->ka', Minv, v,
+                                  precision='highest') * kf_opt_f[:, None]
+
+            def cg_body(carry, _):
+                x, res, z, pdir, rz = carry
+                Ap = S_matvec(pdir)
+                pAp = jnp.sum(pdir * Ap)
+                alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+                x = x + alpha * pdir
+                res = res - alpha * Ap
+                z = precond(res)
+                rz_new = jnp.sum(res * z)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                pdir = z + beta * pdir
+                return (x, res, z, pdir, rz_new), rz_new
+
+            x0 = jnp.zeros_like(rhs)
+            z0 = precond(rhs)
+            (dxp, _, _, _, _), _ = jax.lax.scan(
+                cg_body, (x0, rhs, z0, z0, jnp.sum(rhs * z0)), None,
+                length=cg_iters)
+            dxp = dxp * kf_opt_f[:, None]
+            dxl = jnp.einsum('lab,lb->la', Hll_inv, bl_m - Btx(dxp),
+                             precision='highest') * lm_opt_lf[:, None]
+            dR, dt = lie.se3_exp(dxp)
+            R_new, t_new = lie.se3_mul(dR, dt, R, t)
+            return R_new, t_new, X_l + dxl
+
+        def iteration(carry, _):
+            R, t, X_l, terms, lam, cost = carry
+            R_c, t_c, X_c = lm_step(terms, R, t, X_l, lam)
+            terms_c = terms_of(R_c, t_c, X_c)
+            new_cost = cost_of(terms_c)
+            accept = new_cost < cost
+            sel = lambda a, b: jnp.where(accept, a, b)
+            R, t, X_l = jax.tree.map(sel, (R_c, t_c, X_c), (R, t, X_l))
+            terms = jax.tree.map(sel, terms_c, terms)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                           1e-9, 1e4)
+            return (R, t, X_l, terms, lam, cost), cost
+
+        terms0 = terms_of(pl.R, pl.t, pl.X)
+        cost0 = cost_of(terms0)
+        (R, t, X_l, _, lam, cost), costs = jax.lax.scan(
+            iteration,
+            (pl.R, pl.t, pl.X, terms0, jnp.asarray(lambda0, f32), cost0),
+            None, length=n_iters)
+        return R, t, X_l, {"cost0": cost0, "costs": costs, "lambda": lam}
+
+    return solve(p)
+
+
 def ba_solve_pcg_sharded(p: ba_mod.BAProblem, mesh: Mesh,
                          n_iters: int = 8, cg_iters: int = 40,
                          lambda0: float = 1e-4):

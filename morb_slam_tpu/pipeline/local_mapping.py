@@ -64,16 +64,20 @@ def _relative_pose(R1, t1, R2, t2):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig):
+def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig,
+                         win=None):
     """Triangulate new landmarks between KF `kf_id` and its best covisible
     neighbors (reference LocalMapping::CreateNewMapPoints,
-    LocalMapping.cc:403)."""
+    LocalMapping.cc:403). `win` optionally supplies a precomputed
+    (idx, ok) covisible window (center first) — the covisibility row is a
+    map-wide gather worth computing once per mapping step."""
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
     n_neigh = min(N_TRI_NEIGHBORS, K - 1)
-    neigh_idx, neigh_ok = ms.local_window(m, kf_id, n_neigh + 1,
-                                          min_weight=10)
-    neigh_idx, neigh_ok = neigh_idx[1:], neigh_ok[1:]   # drop self
+    if win is None:
+        win = ms.local_window(m, kf_id, n_neigh + 1, min_weight=10)
+    neigh_idx = win[0][1:n_neigh + 1]                   # drop self
+    neigh_ok = win[1][1:n_neigh + 1]
     # always include the temporal-chain predecessor (reference adds it to
     # the covisible neighbor set, LocalMapping.cc:417-425) — right after
     # initialization the covisibility graph is too thin to surface it
@@ -166,7 +170,7 @@ def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def fuse_in_neighbors(m: ms.MapState, kf_id, cam_params, cam_kind,
-                      cfg: LocalMapConfig):
+                      cfg: LocalMapConfig, win=None):
     """Project the current KF's landmarks into covisible neighbor KFs and
     bind them to free features there (and the reverse direction), so young
     landmarks accumulate the observations that keep them alive through
@@ -178,9 +182,10 @@ def fuse_in_neighbors(m: ms.MapState, kf_id, cam_params, cam_kind,
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
     n_neigh = min(N_TRI_NEIGHBORS, K - 1)
-    neigh_idx, neigh_ok = ms.local_window(m, kf_id, n_neigh + 1,
-                                          min_weight=10)
-    neigh_idx, neigh_ok = neigh_idx[1:], neigh_ok[1:]
+    if win is None:
+        win = ms.local_window(m, kf_id, n_neigh + 1, min_weight=10)
+    neigh_idx = win[0][1:n_neigh + 1]
+    neigh_ok = win[1][1:n_neigh + 1]
 
     def fuse_into(m, src_kf, dst_kf, ok):
         """Bind src KF's landmarks to free features of dst KF."""
@@ -238,7 +243,8 @@ def cull_landmarks(m: ms.MapState, kf_id):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
+def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig,
+                            win=None):
     """Local BA over the covisible window (reference
     Optimizer::LocalBundleAdjustment, Optimizer.cc:1053): window KFs
     optimized, frontier anchors fixed, local landmarks refined; outlier
@@ -247,7 +253,9 @@ def local_bundle_adjustment(m: ms.MapState, kf_id, cfg: LocalMapConfig):
     L = m.lm_valid.shape[0]
     KW = min(BA_WINDOW + BA_FIXED, K)
     n_opt = min(BA_WINDOW, K)
-    win_idx, win_ok = ms.local_window(m, kf_id, KW, min_weight=10)
+    if win is None:
+        win = ms.local_window(m, kf_id, KW, min_weight=10)
+    win_idx, win_ok = win[0][:KW], win[1][:KW]
     # fix the two oldest KFs in the window: one fixed camera leaves the
     # monocular scale gauge free and the map inflates run-away (observed
     # x3 in 4 keyframes); two pinned poses pin the scale
@@ -455,12 +463,15 @@ def full_inertial_ba(m: ms.MapState, ki, last_kf, cfg: LocalMapConfig,
 
 
 @partial(jax.jit, static_argnames=("n_min_others", "max_oct"))
-def _redundant_slots(m: ms.MapState, n_min_others: int = 3,
-                     max_oct: int = 8):
-    """(K, F) bool — slot's landmark is observed by >= n_min_others OTHER
-    keyframes at the same or finer scale (reference KeyFrameCulling's
-    scaleLevel_i <= scaleLevel + 1 condition, LocalMapping.cc:906-928),
-    via a per-landmark octave histogram + cumulative count."""
+def _redundant_rows(m: ms.MapState, rows, n_min_others: int = 3,
+                    max_oct: int = 8):
+    """(R, F) bool — for keyframes `rows` (R,), whether each slot's landmark
+    is observed by >= n_min_others OTHER keyframes at the same or finer
+    scale (reference KeyFrameCulling's scaleLevel_i <= scaleLevel + 1
+    condition, LocalMapping.cc:906-928), via a per-landmark octave
+    histogram + cumulative count. The histogram covers the whole map; the
+    support gather touches only the candidate rows (the map-wide gather
+    was one of the mapping step's top costs)."""
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
     slot_ok = m.kf_feat_valid & m.kf_valid[:, None] & (m.kf_feat_lm >= 0)
@@ -472,12 +483,14 @@ def _redundant_slots(m: ms.MapState, n_min_others: int = 3,
         num_segments=(L + 1) * max_oct)[:L * max_oct].reshape(L, max_oct)
     cum = jnp.cumsum(hist, axis=1)           # obs with octave <= column
     cum = jnp.concatenate([cum, jnp.zeros((1, max_oct), cum.dtype)])
-    j = jnp.clip(oct_ + 1, 0, max_oct - 1)
-    support = cum[lm, j] - 1                 # exclude the slot itself
-    return (support >= n_min_others) & slot_ok, slot_ok
+    lm_r = lm[rows]                          # (R, F)
+    ok_r = slot_ok[rows]
+    j = jnp.clip(oct_[rows] + 1, 0, max_oct - 1)
+    support = cum[lm_r, j] - 1               # exclude the slot itself
+    return (support >= n_min_others) & ok_r, ok_r
 
 
-def cull_keyframes(m: ms.MapState, kf_id):
+def cull_keyframes(m: ms.MapState, kf_id, win=None):
     """Redundant-keyframe culling (reference LocalMapping::KeyFrameCulling,
     LocalMapping.cc:886): a covisible KF is dropped when >= 90% of its
     landmarks are observed by at least 3 other keyframes at the same or
@@ -486,10 +499,18 @@ def cull_keyframes(m: ms.MapState, kf_id):
     culled."""
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
-    redundant, has = _redundant_slots(m)             # (K, F)
-    n_lm_kf = jnp.sum(has, axis=1)
-    frac = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_kf, 1, None)
-    cand, cand_ok = ms.local_window(m, kf_id, min(12, K), min_weight=10)
+    nc = min(12, K)
+    if win is None:
+        win = ms.local_window(m, kf_id, nc, min_weight=10)
+    cand, cand_ok = win[0][:nc], win[1][:nc]
+    redundant, has = _redundant_rows(m, cand)        # (nc, F)
+    n_lm_cand = jnp.sum(has, axis=1)
+    frac_cand = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_cand, 1, None)
+    # scatter candidate stats back onto (K,) for the cull decision
+    frac = jnp.zeros(K, m.kf_t.dtype).at[cand].set(
+        jnp.where(cand_ok, frac_cand, 0.0), mode="drop")
+    n_lm_kf = jnp.zeros(K, n_lm_cand.dtype).at[cand].set(
+        jnp.where(cand_ok, n_lm_cand, 0), mode="drop")
     is_cand = jnp.zeros(K, bool).at[jnp.where(cand_ok, cand, 0)].set(
         cand_ok, mode="drop")
     cull = (is_cand & m.kf_valid & (frac > 0.9) & (n_lm_kf > 20)
@@ -524,21 +545,26 @@ def mapping_step(m: ms.MapState, kf_id, cam_params, cam_kind,
     triangulate -> fuse -> cull points -> local BA -> cull KFs -> stats.
     Landmark statistics refresh WINDOWED to the touched keyframes (the
     full-map refresh dominated the mapping budget)."""
-    m = create_new_landmarks(m, kf_id, cfg)
-    win_idx, win_ok = _stats_window(m, kf_id)
-    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
-    m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
+    K = m.kf_valid.shape[0]
+    KW = min(BA_WINDOW + BA_FIXED, K)
+    # ONE covisibility-window computation feeds triangulation, stats,
+    # fusion; a refresh after fusion feeds BA + culling (each
+    # covisibility row is a map-wide gather — formerly recomputed 6x)
+    win = ms.local_window(m, kf_id, KW, min_weight=10)
+    m = create_new_landmarks(m, kf_id, cfg, win=win)
+    m = ms.update_landmark_stats_window(m, win[0], win[1])
+    m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg, win=win)
     m = cull_landmarks(m, kf_id)
-    m = local_bundle_adjustment(m, kf_id, cfg)
+    win = ms.local_window(m, kf_id, KW, min_weight=10)
+    m = local_bundle_adjustment(m, kf_id, cfg, win=win)
     if not cfg.inertial:
-        m = cull_keyframes(m, kf_id)
-    win_idx, win_ok = _stats_window(m, kf_id)
-    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
+        m = cull_keyframes(m, kf_id, win=win)
+    m = ms.update_landmark_stats_window(m, win[0], win[1])
     return m
 
 
 @jax.jit
-def cull_keyframes_inertial(m: ms.MapState, ki, kf_id):
+def cull_keyframes_inertial(m: ms.MapState, ki, kf_id, win=None):
     """Redundant-keyframe culling for INERTIAL maps: the culled keyframe's
     preintegration merges into its temporal successor so the IMU chain
     stays exact (reference KeyFrameCulling + Preintegrated::MergePrevious,
@@ -547,10 +573,17 @@ def cull_keyframes_inertial(m: ms.MapState, ki, kf_id):
     from ..optim import inertial as inertial_mod
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
-    redundant, has = _redundant_slots(m)
-    n_lm_kf = jnp.sum(has, axis=1)
-    frac = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_kf, 1, None)
-    cand, cand_ok = ms.local_window(m, kf_id, min(12, K), min_weight=10)
+    nc = min(12, K)
+    if win is None:
+        win = ms.local_window(m, kf_id, nc, min_weight=10)
+    cand, cand_ok = win[0][:nc], win[1][:nc]
+    redundant, has = _redundant_rows(m, cand)
+    n_lm_cand = jnp.sum(has, axis=1)
+    frac_cand = jnp.sum(redundant, axis=1) / jnp.clip(n_lm_cand, 1, None)
+    frac = jnp.zeros(K, m.kf_t.dtype).at[cand].set(
+        jnp.where(cand_ok, frac_cand, 0.0), mode="drop")
+    n_lm_kf = jnp.zeros(K, n_lm_cand.dtype).at[cand].set(
+        jnp.where(cand_ok, n_lm_cand, 0), mode="drop")
     is_cand = jnp.zeros(K, bool).at[jnp.where(cand_ok, cand, 0)].set(
         cand_ok, mode="drop")
     # each culled KF must have a valid preintegration AND a successor edge
@@ -579,13 +612,15 @@ def mapping_step_inertial(m: ms.MapState, ki, kf_id, cam_params, cam_kind,
     local BA (reference LocalMapping::Run switching to LocalInertialBA once
     the map is IMU-initialized, LocalMapping.cc:147-187). Returns
     (map, kf_imu) — inertial culling merges preintegration entries."""
-    m = create_new_landmarks(m, kf_id, cfg)
-    win_idx, win_ok = _stats_window(m, kf_id)
-    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
-    m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg)
+    K = m.kf_valid.shape[0]
+    KW = min(BA_WINDOW + BA_FIXED, K)
+    win = ms.local_window(m, kf_id, KW, min_weight=10)
+    m = create_new_landmarks(m, kf_id, cfg, win=win)
+    m = ms.update_landmark_stats_window(m, win[0], win[1])
+    m = fuse_in_neighbors(m, kf_id, cam_params, cam_kind, cfg, win=win)
     m = cull_landmarks(m, kf_id)
     m = local_inertial_ba(m, ki, kf_id, cfg)
-    m, ki = cull_keyframes_inertial(m, ki, kf_id)
-    win_idx, win_ok = _stats_window(m, kf_id)
-    m = ms.update_landmark_stats_window(m, win_idx, win_ok)
+    win = ms.local_window(m, kf_id, KW, min_weight=10)
+    m, ki = cull_keyframes_inertial(m, ki, kf_id, win=win)
+    m = ms.update_landmark_stats_window(m, win[0], win[1])
     return m, ki

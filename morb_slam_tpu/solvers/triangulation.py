@@ -1,15 +1,20 @@
 """Batched DLT triangulation.
 
 TPU-native replacement for GeometricTools::Triangulate
-(/root/reference/src/GeometricTools.cc, include/GeometricTools.h:34-44): the
-4x4 DLT system is solved for whole batches of correspondences at once via
-eigh of A^T A (cheaper and more TPU-friendly than SVD of A).
+(/root/reference/src/GeometricTools.cc, include/GeometricTools.h:34-44).
+The 4x4 homogeneous DLT system is solved in INHOMOGENEOUS form (fix w=1,
+3x3 normal equations + closed-form inverse): batched eigh is a slow TPU
+custom call (~3 ms per 1200-point batch — it dominated the whole mapping
+step), while the closed-form solve is pure VPU arithmetic. The w=1 gauge
+only degrades for points at infinity, which the parallax/cheirality gates
+reject anyway.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from .. import lie
+from ..optim import linalg as tpu_linalg
 
 
 def projection_matrix(R, t):
@@ -33,14 +38,14 @@ def triangulate(x1, x2, P1, P2):
         x2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :],
     ]
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    # A is (..., 4, 4); smallest right-singular vector of A == eigenvector of
-    # A^T A with smallest eigenvalue (eigh returns ascending order).
-    AtA = jnp.einsum('...ij,...ik->...jk', A, A, precision='highest')
-    _, V = jnp.linalg.eigh(AtA)
-    X = V[..., :, 0]
-    w = X[..., 3]
-    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[..., :3] / w_safe[..., None]
+    # inhomogeneous least squares: A[:, :3] X = -A[:, 3] (w=1 gauge)
+    M = A[..., :, :3]
+    b = -A[..., :, 3]
+    MtM = jnp.einsum('...ij,...ik->...jk', M, M, precision='highest')
+    Mtb = jnp.einsum('...ij,...i->...j', M, b, precision='highest')
+    MtM = MtM + 1e-10 * jnp.eye(3, dtype=A.dtype)
+    return jnp.einsum('...ab,...b->...a', tpu_linalg.inv3x3(MtM), Mtb,
+                      precision='highest')
 
 
 def triangulate_two_view(x1, x2, R21, t21):
