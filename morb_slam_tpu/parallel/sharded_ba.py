@@ -149,25 +149,54 @@ def ba_solve_sharded(p: ba_mod.BAProblem, mesh: Mesh, n_iters: int = 10,
 
 def partition_problem_by_lm(p: ba_mod.BAProblem, n_devices: int):
     """Host-side repartition for the landmark-sharded solver: device d owns
-    the contiguous landmark block [d*Lb, (d+1)*Lb) and EVERY observation of
-    those landmarks. Returns a BAProblem whose landmark arrays are padded to
-    L % n == 0 and whose observation arrays are laid out as n equal-length
-    contiguous device blocks (padded rows are masked out).
+    a contiguous landmark-id range and EVERY observation of those landmarks.
+
+    Block boundaries are chosen by EQUAL OBSERVATION COUNT (not equal
+    landmark count): landmark ids are spatially/temporally clustered in a
+    SLAM map, so equal-size blocks leave one device with far more
+    observations than the rest, and since every per-device array is padded
+    to the max block, imbalance turns directly into wasted FLOPs (measured
+    1.55x total work at 8 devices with equal-size blocks on a K=512/O=1M
+    problem; ~1.0x with equal-obs boundaries).
+
+    Returns (problem, lm_new2old) where the problem's landmark arrays are a
+    block-padded permutation of the input (length n_devices * Lb) and
+    `lm_new2old[j]` is the original landmark id of packed row j (-1 for
+    padding). Observation arrays are n equal-length contiguous device
+    blocks; padded rows are masked out.
 
     This is the data layout of SURVEY.md §5's long-context plan: partition
     observations so each device owns whole landmark blocks — the Schur
     landmark work then needs no collective at all.
     """
     import numpy as np
-    O = int(p.obs_uv.shape[0])
     L = int(p.X.shape[0])
-    Lb = -(-L // n_devices)
-    Lpad = Lb * n_devices
     obs_lm = np.asarray(p.obs_lm)
     obs_mask = np.asarray(p.obs_mask)
-    owner = np.where(obs_mask, obs_lm // Lb, 0)
-    counts = np.bincount(owner[obs_mask], minlength=n_devices)
-    cap = max(int(counts.max()), 1)
+    counts = np.bincount(obs_lm[obs_mask], minlength=L).astype(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    # boundary[d] = first landmark id of device d's range
+    targets = (np.arange(1, n_devices) * total) // n_devices
+    bounds = np.concatenate([[0], np.searchsorted(cum, targets, "left") + 1,
+                             [L]])
+    bounds = np.maximum.accumulate(np.clip(bounds, 0, L))
+    starts, ends = bounds[:-1], bounds[1:]
+    Lb = max(int((ends - starts).max()), 1)
+    # landmark permutation: device d's rows [d*Lb, d*Lb+len) <- old ids
+    lm_new2old = np.full(n_devices * Lb, -1, np.int64)
+    lm_old2new = np.zeros(L, np.int64)
+    for d in range(n_devices):
+        ln = ends[d] - starts[d]
+        lm_new2old[d * Lb:d * Lb + ln] = np.arange(starts[d], ends[d])
+        lm_old2new[starts[d]:ends[d]] = d * Lb + np.arange(ln)
+    src = np.where(lm_new2old < 0, 0, lm_new2old)
+    X_new = np.asarray(p.X)[src]
+    lm_opt_new = np.asarray(p.lm_opt)[src] & (lm_new2old >= 0)
+
+    owner = np.where(obs_mask, np.searchsorted(ends, obs_lm, "right"), 0)
+    ocounts = np.bincount(owner[obs_mask], minlength=n_devices)
+    cap = max(int(ocounts.max()), 1)
     cap = -(-cap // 8) * 8
     sel = np.full((n_devices, cap), -1, np.int64)
     for d in range(n_devices):
@@ -184,15 +213,14 @@ def partition_problem_by_lm(p: ba_mod.BAProblem, n_devices: int):
             out[pad] = fill
         return jnp.asarray(out)
 
-    # padded rows: mask False, landmark = first lm of the owning block
+    # padded rows: mask False, landmark = first row of the owning block
     # (keeps the local index in range), kf = 0, zero info
     own_first = np.repeat(np.arange(n_devices) * Lb, cap)
-    obs_lm_new = np.asarray(p.obs_lm)[idx]
+    obs_lm_new = lm_old2new[obs_lm[idx]]
     obs_lm_new[pad] = own_first[pad]
-    lm_pad = np.zeros(Lpad - L, bool)
-    return p._replace(
-        X=jnp.concatenate([p.X, jnp.zeros((Lpad - L, 3), p.X.dtype)]),
-        lm_opt=jnp.concatenate([p.lm_opt, jnp.asarray(lm_pad)]),
+    p_new = p._replace(
+        X=jnp.asarray(X_new),
+        lm_opt=jnp.asarray(lm_opt_new),
         obs_kf=take(p.obs_kf, 0),
         obs_lm=jnp.asarray(obs_lm_new),
         obs_uv=take(p.obs_uv),
@@ -200,6 +228,7 @@ def partition_problem_by_lm(p: ba_mod.BAProblem, n_devices: int):
         obs_info=take(p.obs_info, 0.0),
         obs_mask=jnp.asarray(~pad),
     )
+    return p_new, jnp.asarray(lm_new2old)
 
 
 def ba_solve_pcg_lm_sharded(p: ba_mod.BAProblem, mesh: Mesh,

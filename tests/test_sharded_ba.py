@@ -50,6 +50,49 @@ def test_pcg_sharded_matches_single_device():
     assert float(info8["costs"][-1]) < 0.8 * float(info8["cost0"])
 
 
+def test_pcg_lm_sharded_matches_single_device():
+    """Landmark-sharded PCG (device owns whole landmark blocks, only (K,6)
+    psum per matvec) must reproduce the single-device PCG solver through a
+    landmark permutation."""
+    rng = np.random.default_rng(44)
+    prob, (R, t, X) = build_problem(rng)
+    R1, t1, X1, info1 = ba.ba_solve_pcg(prob, n_iters=4, cg_iters=25)
+    for n_dev in (1, 8):
+        pn, new2old = sharded_ba.partition_problem_by_lm(prob, n_dev)
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev),
+                    (sharded_ba.OBS_AXIS,))
+        Rn, tn, Xn, infon = sharded_ba.ba_solve_pcg_lm_sharded(
+            pn, mesh, n_iters=4, cg_iters=25)
+        np.testing.assert_allclose(np.asarray(Rn), np.asarray(R1), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(tn), np.asarray(t1), atol=2e-4)
+        keep = np.asarray(new2old) >= 0
+        X_back = np.zeros_like(np.asarray(X1))
+        X_back[np.asarray(new2old)[keep]] = np.asarray(Xn)[keep]
+        np.testing.assert_allclose(X_back, np.asarray(X1), atol=5e-4)
+        assert float(infon["costs"][-1]) < 0.8 * float(infon["cost0"])
+
+
+def test_lm_partition_balances_observations():
+    """Equal-obs boundaries: no device block may carry more than ~1.3x the
+    mean observation load even when landmark ids are heavily clustered."""
+    from morb_slam_tpu.optim import ba as ba_mod
+    rng = np.random.default_rng(45)
+    K, L, O = 16, 4096, 60000
+    # clustered: 80% of observations hit the first 10% of landmark ids
+    lm = np.where(rng.random(O) < 0.8,
+                  rng.integers(0, L // 10, O), rng.integers(0, L, O))
+    prob = ba_mod.make_problem(
+        jnp.tile(jnp.eye(3), (K, 1, 1)), jnp.zeros((K, 3)),
+        jnp.asarray(rng.normal(0, 1, (L, 3)), jnp.float32),
+        jnp.asarray(rng.integers(0, K, O), jnp.int32),
+        jnp.asarray(lm, jnp.int32),
+        jnp.zeros((O, 2), jnp.float32), jnp.ones(O, jnp.float32),
+        jnp.ones(O, bool), jnp.ones(K, bool), jnp.ones(L, bool))
+    pn, _ = sharded_ba.partition_problem_by_lm(prob, 8)
+    per_dev = np.asarray(pn.obs_mask).reshape(8, -1).sum(axis=1)
+    assert per_dev.max() <= 1.3 * per_dev.mean(), per_dev
+
+
 def test_sharded_place_recognition():
     """Keyframe-block-sharded BoW scoring equals the replicated query."""
     import jax.numpy as jnp

@@ -48,7 +48,7 @@ assert pose_err < 3e-3 and lm_err < 0.05
 # --- 2. landmark-sharded PCG on a 1-device TPU mesh ------------------------
 from jax.sharding import Mesh
 from morb_slam_tpu.parallel import sharded_ba
-p2 = sharded_ba.partition_problem_by_lm(prob, 1)
+p2, _ = sharded_ba.partition_problem_by_lm(prob, 1)
 mesh = Mesh(np.asarray(jax.devices()[:1]), (sharded_ba.OBS_AXIS,))
 R2, t2, X2, info2 = sharded_ba.ba_solve_pcg_lm_sharded(
     p2, mesh, n_iters=8, cg_iters=24)
