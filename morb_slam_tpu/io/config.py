@@ -70,6 +70,12 @@ class Settings:
     min_th_fast: float = 7.0
     load_atlas: str = ""
     save_atlas: str = ""
+    # System.thFarPoints (reference System.cc:213-219): landmarks beyond
+    # this camera distance (meters) are discarded; 0 disables the gate
+    th_far_points: float = 0.0
+    # loopClosing YAML flag (reference System.cc:116-120): 0 disables the
+    # loop-closing stage entirely
+    loop_closing: bool = True
 
 
 def _cam_from_yaml(d: dict, prefix: str) -> Optional[CameraSettings]:
@@ -134,6 +140,9 @@ def load_settings(path: str) -> Settings:
     s.min_th_fast = float(d.get("ORBextractor.minThFAST", 7))
     s.load_atlas = d.get("System.LoadAtlasFromFile", "")
     s.save_atlas = d.get("System.SaveAtlasToFile", "")
+    s.th_far_points = float(d.get("System.thFarPoints",
+                                  d.get("thFarPoints", 0.0)))
+    s.loop_closing = bool(int(d.get("loopClosing", 1)))
     if "IMU.NoiseGyro" in d:
         T = None
         if "IMU.T_b_c1" in d:

@@ -217,7 +217,12 @@ def save_vocabulary(path: str, voc):
 
 
 def load_vocabulary(path: str):
+    """Load a vocabulary: .npz (native) or reference DBoW2 text format
+    (ORBvoc.txt — System.cc:132 loadFromTextFile equivalent)."""
     from ..vocab.tree import Vocabulary
+    if path.endswith(".txt"):
+        from ..vocab.tree import load_orbvoc_text
+        return load_orbvoc_text(path)
     d = np.load(path)
     depth = int(d["depth"])
     return Vocabulary(

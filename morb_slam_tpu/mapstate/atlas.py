@@ -112,7 +112,6 @@ def merge_maps(m_act: ms.MapState, m_old: ms.MapState, s, R, t):
     old_feat_lm = jnp.where(mo.kf_feat_lm >= 0, mo.kf_feat_lm + lm_off, -1)
     old_prev = jnp.where(mo.kf_prev >= 0, mo.kf_prev + kf_off, -1)
     old_ref = jnp.where(mo.lm_ref_kf >= 0, mo.lm_ref_kf + kf_off, -1)
-    old_first = jnp.where(mo.lm_first_kf >= 0, mo.lm_first_kf + kf_off, -1)
 
     merged = m_act._replace(
         kf_R=kf_field(m_act.kf_R, mo.kf_R),
@@ -136,7 +135,7 @@ def merge_maps(m_act: ms.MapState, m_old: ms.MapState, s, R, t):
         lm_normal=lm_field(m_act.lm_normal, mo.lm_normal),
         lm_dist_max=lm_field(m_act.lm_dist_max, mo.lm_dist_max),
         lm_ref_kf=lm_field(m_act.lm_ref_kf, old_ref),
-        lm_first_kf=lm_field(m_act.lm_first_kf, old_first),
+        lm_first_ts=lm_field(m_act.lm_first_ts, mo.lm_first_ts),
         lm_visible=lm_field(m_act.lm_visible, mo.lm_visible),
         lm_found=lm_field(m_act.lm_found, mo.lm_found),
         n_kf=m_act.n_kf + n_kf_old,

@@ -42,7 +42,9 @@ class MapState(NamedTuple):
       lm_pos: (L, 3); lm_valid: (L,) bool.
       lm_desc: (L, 8) uint32 distinctive descriptor.
       lm_normal: (L, 3); lm_dist_max: (L,) scale band (dmin derived).
-      lm_ref_kf: (L,) int32; lm_first_kf: (L,) int32 (for culling rules).
+      lm_ref_kf: (L,) int32; lm_first_ts: (L,) f32 timestamp of the keyframe
+        that created the landmark (probation culling compares timestamps —
+        slot ids stop being temporal once keyframe slots recycle).
       lm_visible / lm_found: (L,) int32 counters (reference
         IncreaseVisible/IncreaseFound, used by the found-ratio cull).
 
@@ -69,7 +71,7 @@ class MapState(NamedTuple):
     lm_normal: jnp.ndarray
     lm_dist_max: jnp.ndarray
     lm_ref_kf: jnp.ndarray
-    lm_first_kf: jnp.ndarray
+    lm_first_ts: jnp.ndarray
     lm_visible: jnp.ndarray
     lm_found: jnp.ndarray
     n_kf: jnp.ndarray
@@ -100,7 +102,7 @@ def empty_map(max_kf: int, n_feat: int, max_lm: int) -> MapState:
         lm_normal=jnp.zeros((max_lm, 3), f32),
         lm_dist_max=jnp.ones(max_lm, f32),
         lm_ref_kf=jnp.full(max_lm, -1, i32),
-        lm_first_kf=jnp.full(max_lm, -1, i32),
+        lm_first_ts=jnp.full(max_lm, -jnp.inf, f32),
         lm_visible=jnp.zeros(max_lm, i32),
         lm_found=jnp.zeros(max_lm, i32),
         n_kf=jnp.asarray(0, i32),
@@ -320,3 +322,35 @@ def update_landmark_stats_window(m: MapState, win_idx, win_ok) -> MapState:
 
 def lie_matvec(M, v):
     return jnp.sum(M * v[..., None, :], axis=-1)
+
+
+def reparent_landmark_refs(m: MapState) -> MapState:
+    """Re-parent lm_ref_kf entries whose reference keyframe is no longer
+    valid onto the landmark's NEWEST surviving observer (reference
+    KeyFrame::SetBadFlag re-parents MapPoint references on deletion).
+    Without this, a recycled slot's new occupant silently becomes the
+    reference of unrelated landmarks — loop corrections then move them with
+    the wrong keyframe's Sim3, and scale bands are computed from the wrong
+    viewpoint. Landmarks with no surviving observer keep their stale ref
+    (the n_obs >= 1 cull removes them on the next mapping step)."""
+    K, F = m.kf_feat_lm.shape
+    L = m.lm_valid.shape[0]
+    slot_ok = m.kf_feat_valid & m.kf_valid[:, None] & (m.kf_feat_lm >= 0)
+    lm_of = jnp.where(slot_ok, m.kf_feat_lm, L).reshape(-1)
+    ts_b = jnp.broadcast_to(
+        jnp.where(m.kf_valid, m.kf_ts, -jnp.inf)[:, None], (K, F)
+    ).reshape(-1)
+    best_ts = jax.ops.segment_max(
+        jnp.where(slot_ok.reshape(-1), ts_b, -jnp.inf), lm_of,
+        num_segments=L + 1)[:L]
+    in_best = slot_ok.reshape(-1) & (ts_b == best_ts[jnp.clip(
+        lm_of, 0, L - 1)]) & (lm_of < L)
+    k_b = jnp.broadcast_to(jnp.arange(K)[:, None], (K, F)).reshape(-1)
+    new_ref = jax.ops.segment_max(
+        jnp.where(in_best, k_b, -1), lm_of, num_segments=L + 1)[:L]
+    ref_bad = m.lm_valid & (
+        (m.lm_ref_kf < 0) | ~m.kf_valid[jnp.clip(m.lm_ref_kf, 0, K - 1)])
+    return m._replace(
+        lm_ref_kf=jnp.where(ref_bad & (new_ref >= 0),
+                            new_ref.astype(m.lm_ref_kf.dtype),
+                            m.lm_ref_kf))

@@ -144,8 +144,8 @@ def create_new_landmarks(m: ms.MapState, kf_id, cfg: LocalMapConfig,
             lm_valid=m.lm_valid.at[slot].set(sel_good | m.lm_valid[slot]),
             lm_ref_kf=m.lm_ref_kf.at[slot].set(
                 jnp.where(sel_good, kf_id, m.lm_ref_kf[slot])),
-            lm_first_kf=m.lm_first_kf.at[slot].set(
-                jnp.where(sel_good, kf_id, m.lm_first_kf[slot])),
+            lm_first_ts=m.lm_first_ts.at[slot].set(
+                jnp.where(sel_good, m.kf_ts[kf_id], m.lm_first_ts[slot])),
             lm_desc=m.lm_desc.at[slot].set(
                 jnp.where(sel_good[:, None], desc1[feat1], m.lm_desc[slot])),
             lm_dist_max=m.lm_dist_max.at[slot].set(
@@ -227,11 +227,20 @@ def cull_landmarks(m: ms.MapState, kf_id):
     applying the ratio test map-wide erased everything behind a sweeping
     camera, destroying loop-closure and relocalization ground."""
     n_obs = ms.lm_obs_count(m)
-    age = kf_id - m.lm_first_kf
-    recent = (age >= 0) & (age <= 3)
+    # probation age measured in keyframe INSERTS via timestamp rank (slot
+    # arithmetic breaks once slots recycle): a landmark created within the
+    # last 4 inserts is "recent"; one created >= 2 inserts ago must have
+    # accumulated observations
+    K = m.kf_valid.shape[0]
+    ts_v = jnp.where(m.kf_valid, m.kf_ts, -jnp.inf)
+    top4 = jax.lax.top_k(ts_v, min(4, K))[0]
+    thr_recent = top4[-1]          # ts of the 4th-newest keyframe
+    thr_age2 = top4[min(2, K - 1)]  # ts of the 3rd-newest keyframe
+    recent = jnp.isfinite(m.lm_first_ts) & (m.lm_first_ts >= thr_recent)
+    aged2 = m.lm_first_ts <= thr_age2
     ratio = m.lm_found.astype(jnp.float32) / jnp.clip(
         m.lm_visible.astype(jnp.float32), 1.0, None)
-    seen_enough = jnp.where(recent & (age >= 2), n_obs >= 3, True)
+    seen_enough = jnp.where(recent & aged2, n_obs >= 3, True)
     ratio_ok = jnp.where(recent & (m.lm_visible > 4), ratio > 0.25, True)
     keep = m.lm_valid & seen_enough & ratio_ok & (n_obs >= 1)
     L = m.lm_valid.shape[0]
@@ -410,6 +419,26 @@ def _vi_write_back(m: ms.MapState, prob, win_idx, win_ok, opt_pose, opt_vb,
                       m.kf_feat_lm[win_idx])))
 
 
+def _chain_window(ki, kf_valid, kf_id, W):
+    """Temporal keyframe window built by walking the preintegration chain
+    `ki.prev` backwards from `kf_id` (the reference builds LocalInertialBA
+    windows via mPrevKF chaining, Optimizer.cc:2324 — NOT by keyframe id
+    arithmetic: slot ids stop being temporal once culling recycles slots).
+    Returns (win_idx oldest->newest (W,), win_ok)."""
+    K = kf_valid.shape[0]
+
+    def step(cur, _):
+        c = jnp.clip(cur, 0, K - 1)
+        nxt = ki.prev[c]
+        ok = (cur >= 0) & (nxt >= 0) & kf_valid[jnp.clip(nxt, 0, K - 1)]
+        return jnp.where(ok, nxt, -1), cur
+
+    _, newest_first = jax.lax.scan(step, kf_id, None, length=W)
+    win_idx = newest_first[::-1]
+    win_ok = (win_idx >= 0) & kf_valid[jnp.clip(win_idx, 0, K - 1)]
+    return jnp.clip(win_idx, 0, K - 1), win_ok
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def local_inertial_ba(m: ms.MapState, ki, kf_id, cfg: LocalMapConfig):
     """Visual-inertial local BA over the TEMPORAL keyframe window (reference
@@ -422,10 +451,7 @@ def local_inertial_ba(m: ms.MapState, ki, kf_id, cfg: LocalMapConfig):
     N_OPT = 10       # reference: 10 opt KFs (25 when bLarge)
     N_FIX = 4
     W = min(N_OPT + N_FIX, K)
-    # temporal window ending at kf_id (kf indices are temporal)
-    win_idx = jnp.clip(kf_id - (W - 1) + jnp.arange(W), 0, K - 1)
-    win_ok = m.kf_valid[win_idx] & (win_idx <= kf_id) & \
-        (jnp.arange(W) >= (W - 1) - kf_id)
+    win_idx, win_ok = _chain_window(ki, m.kf_valid, kf_id, W)
     is_opt = (jnp.arange(W) >= W - min(N_OPT, W)) & (win_idx != 0) & win_ok
     prob, lm_sel, lm_sel_ok, obs_ok = _vi_window_problem(
         m, ki, win_idx, win_ok, is_opt, is_opt, cfg,
@@ -447,8 +473,7 @@ def full_inertial_ba(m: ms.MapState, ki, last_kf, cfg: LocalMapConfig,
     K = m.kf_valid.shape[0]
 
     W = min(window, K)
-    win_idx = jnp.clip(last_kf - (W - 1) + jnp.arange(W), 0, K - 1)
-    win_ok = m.kf_valid[win_idx] & (jnp.arange(W) >= (W - 1) - last_kf)
+    win_idx, win_ok = _chain_window(ki, m.kf_valid, last_kf, W)
     is_opt = win_ok & (win_idx != 0)
     prior = jnp.concatenate([jnp.full(3, prior_gyro, m.kf_t.dtype),
                              jnp.full(3, prior_acc, m.kf_t.dtype)])
@@ -528,7 +553,10 @@ def cull_keyframes(m: ms.MapState, kf_id, win=None):
         p = jnp.clip(prev, 0, K - 1)
         dangling = (prev >= 0) & keep_cull[p]
         prev = jnp.where(dangling, m.kf_prev[p], prev)
-    return m._replace(kf_valid=m.kf_valid & ~keep_cull, kf_prev=prev)
+    m = m._replace(kf_valid=m.kf_valid & ~keep_cull, kf_prev=prev)
+    # landmarks referencing a culled keyframe re-parent to a surviving
+    # observer (reference KeyFrame::SetBadFlag)
+    return ms.reparent_landmark_refs(m)
 
 
 def _stats_window(m: ms.MapState, kf_id):
@@ -600,6 +628,7 @@ def cull_keyframes_inertial(m: ms.MapState, ki, kf_id, win=None):
     ki2 = inertial_mod.merge_entry_into_next(ki, k, nxt)
     m2 = m._replace(kf_valid=m.kf_valid.at[k].set(False),
                     kf_prev=m.kf_prev.at[nxt].set(m.kf_prev[k]))
+    m2 = ms.reparent_landmark_refs(m2)
     m_out = jax.tree.map(lambda a, b: jnp.where(can, a, b), m2, m)
     ki_out = jax.tree.map(lambda a, b: jnp.where(can, a, b), ki2, ki)
     return m_out, ki_out

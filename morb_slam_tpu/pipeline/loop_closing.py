@@ -250,11 +250,18 @@ def search_and_fuse(m: ms.MapState, kf_id, cand, cam_params, cam_kind, cfg):
 @partial(jax.jit, static_argnames=("four_dof",))
 def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
                  four_dof: bool = False, past_i=None, past_j=None,
-                 past_ok=None):
+                 past_ok=None, extra_i=None, extra_j=None, extra_s=None,
+                 extra_R=None, extra_t=None, extra_ok=None):
     """Essential-graph correction (reference CorrectLoop +
     OptimizeEssentialGraph): the loop edge pins kf_id against cand; poses
     redistribute accumulated drift; landmarks follow their reference KF's
-    correction."""
+    correction.
+
+    extra_*: optional additional MEASURED Sim3 edges (i <- j with a given
+    (s, R, t) camera-frame measurement) — used by the Atlas merge's
+    essential-graph pass (reference OptimizeEssentialGraph merge overload,
+    Optimizer.cc:1737) to redistribute old-map drift when the merge has
+    more than one verified contact point."""
     K, F = m.kf_feat_lm.shape
     L = m.lm_valid.shape[0]
     f32 = m.kf_t.dtype
@@ -276,21 +283,33 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
         past_j = jnp.zeros(MAX_PAST_LOOP_EDGES, jnp.int32)
         past_ok = jnp.zeros(MAX_PAST_LOOP_EDGES, bool)
     past_ok = past_ok & m.kf_valid[past_i] & m.kf_valid[past_j]
+    if extra_i is None:
+        E = 1
+        extra_i = jnp.zeros(E, jnp.int32)
+        extra_j = jnp.zeros(E, jnp.int32)
+        extra_s = jnp.ones(E, f32)
+        extra_R = jnp.broadcast_to(jnp.eye(3, dtype=f32), (E, 3, 3))
+        extra_t = jnp.zeros((E, 3), f32)
+        extra_ok = jnp.zeros(E, bool)
+    extra_ok = extra_ok & m.kf_valid[extra_i] & m.kf_valid[extra_j]
     # avoid duplicating chain edges; fine to double-count mild weights
     e_i = jnp.concatenate([
         jnp.arange(K, dtype=jnp.int32),
         jnp.repeat(jnp.arange(K, dtype=jnp.int32), COVIS_EDGES_PER_KF),
         past_i.astype(jnp.int32),
+        extra_i.astype(jnp.int32),
         jnp.asarray([kf_id], jnp.int32)])
     e_j = jnp.concatenate([
         jnp.clip(prev, 0, None),
         covis_j.reshape(-1),
         past_j.astype(jnp.int32),
+        extra_j.astype(jnp.int32),
         jnp.asarray([cand], jnp.int32)])
     e_w = jnp.concatenate([
         chain_ok.astype(f32),
         covis_ok.reshape(-1).astype(f32) * 0.5,
         past_ok.astype(f32) * 10.0,
+        extra_ok.astype(f32) * 20.0,
         jnp.asarray([20.0], f32)])
 
     # measured relative transforms from current poses (drift-free locally)
@@ -298,7 +317,14 @@ def correct_loop(m: ms.MapState, kf_id, cand, s_rel, R_rel, t_rel,
     sij, Rij, tij = pose_graph.relative_sim3(
         s_nodes[e_i], m.kf_R[e_i], m.kf_t[e_i],
         s_nodes[e_j], m.kf_R[e_j], m.kf_t[e_j])
-    # ...except the LOOP edge, whose measurement comes from the Sim3 solver
+    # ...except the LOOP edge (Sim3-solver measurement) and the extra
+    # measured edges
+    nE = extra_i.shape[0]
+    sij = jax.lax.dynamic_update_slice(sij, extra_s, (sij.shape[0] - 1 - nE,))
+    Rij = jax.lax.dynamic_update_slice(Rij, extra_R,
+                                       (Rij.shape[0] - 1 - nE, 0, 0))
+    tij = jax.lax.dynamic_update_slice(tij, extra_t,
+                                       (tij.shape[0] - 1 - nE, 0))
     sij = sij.at[-1].set(s_rel)
     Rij = Rij.at[-1].set(R_rel)
     tij = tij.at[-1].set(t_rel)
@@ -387,6 +413,12 @@ class LoopCloser:
         self._pending_cand = -1
         self._pending_kf = -1
         self._pending_count = 0
+        # last verified candidate Sim3 + the keyframe slot it was verified
+        # against (reference DetectAndReffineSim3FromLastKF carries the
+        # Sim3 forward and refines it with guided matching each keyframe,
+        # LoopClosing.cc:539)
+        self._pending_sim3 = None
+        self._pending_slot = -1
         # historical loop edges: (kf slot, cand slot) pairs kept in every
         # later essential-graph solve (reference Optimizer.cc:1443-1736
         # inserts all past loop/merge edges)
@@ -418,9 +450,12 @@ class LoopCloser:
         ts_v = jnp.where(m.kf_valid, m.kf_ts, -jnp.inf)
         thr = jax.lax.top_k(ts_v, min(6, K))[0][-1]
         exclude = (row > 0) | (m.kf_ts >= thr) | (~m.kf_valid)
-        ids, scores, ok = kfdb.top_candidates(tracker.db, bow, 3,
-                                              exclude=exclude,
-                                              min_score=0.15)
+        # covisibility-GROUP accumulated scoring (reference
+        # DetectNBestCandidates): suppresses perceptual aliasing — a true
+        # revisit lights a covisible cluster, aliasing lights isolated KFs
+        ids, scores, ok = kfdb.top_candidates_grouped(
+            tracker.db, bow, 3, ms.covisibility_matrix(m),
+            exclude=exclude, min_score=0.15)
         # stereo/RGB-D maps and IMU-initialized maps are metric: the loop
         # Sim3 must not inject scale (reference bFixScale gating,
         # LoopClosing.cc / Sim3Solver fixed-scale mode)
@@ -428,7 +463,33 @@ class LoopCloser:
             bool(getattr(tracker, "imu_ready", False))
         import numpy as np
         hit = None
+        refined_from_last = False
+        # ---- refine-from-last-KF (reference DetectAndReffineSim3FromLastKF,
+        # LoopClosing.cc:539): carry the last verified Sim3 forward through
+        # the odometry delta and re-verify with guided matching only — keeps
+        # marginal loops alive across keyframes where BoW detection flickers
+        if (self._pending_sim3 is not None
+                and seq - self._pending_kf <= 2
+                and bool(m.kf_valid[self._pending_slot])
+                and bool(m.kf_valid[self._pending_cand])):
+            s_p, R_p, t_p = self._pending_sim3
+            R_rel, t_rel = lie.se3_mul(
+                m.kf_R[kf_id], m.kf_t[kf_id],
+                *lie.se3_inv(m.kf_R[self._pending_slot],
+                             m.kf_t[self._pending_slot]))
+            s0 = s_p
+            R0 = lie.matmat(R_rel, R_p)
+            t0 = lie.matvec(R_rel, t_p) + t_rel
+            tracker.key, k = jax.random.split(tracker.key)
+            s, R, t, n_good = guided_sim3_verify(
+                m, jnp.asarray(kf_id), jnp.asarray(self._pending_cand),
+                s0, R0, t0, k, self.cfg)
+            if int(n_good) >= MIN_ACCEPT_MATCHES:
+                hit = (self._pending_cand, s, R, t, int(n_good))
+                refined_from_last = True
         for c in range(3):
+            if hit is not None:
+                break
             if not bool(ok[c]):
                 continue
             tracker.key, k = jax.random.split(tracker.key)
@@ -450,17 +511,22 @@ class LoopCloser:
             if seq - self._pending_kf > 2:
                 self._pending_count = 0
                 self._pending_cand = -1
+                self._pending_sim3 = None
+                self._pending_slot = -1
             return False
         cand, s, R, t, n_good = hit
         # temporal consistency: this detection must agree (covisible
         # candidate region) with the previous keyframe's detection
-        consistent = (self._pending_cand >= 0
-                      and seq - self._pending_kf <= 2
-                      and (cand == self._pending_cand or int(
-                          ms.covisibility_row(m, jnp.asarray(cand))
-                          [self._pending_cand]) > 0))
+        consistent = refined_from_last or (
+            self._pending_cand >= 0
+            and seq - self._pending_kf <= 2
+            and (cand == self._pending_cand or int(
+                ms.covisibility_row(m, jnp.asarray(cand))
+                [self._pending_cand]) > 0))
         self._pending_cand = cand
         self._pending_kf = seq
+        self._pending_sim3 = (s, R, t)
+        self._pending_slot = kf_id
         self._pending_count = self._pending_count + 1 if consistent else 1
         if self._pending_count < self.temporal_hits:
             return False
@@ -518,6 +584,8 @@ class LoopCloser:
         self.last_loop_kf = seq
         self._pending_count = 0
         self._pending_cand = -1
+        self._pending_sim3 = None
+        self._pending_slot = -1
         return True
 
     def maybe_merge(self, tracker, kf_id: int, bow):
@@ -543,23 +611,35 @@ class LoopCloser:
             if int(m.n_kf) + st.n_kf > m.kf_valid.shape[0] or \
                     int(m.n_lm) + int(st.m.n_lm) > m.lm_valid.shape[0]:
                 continue
-            ids, scores, ok = kfdb.top_candidates(st.db, bow, 3,
-                                                  exclude=~st.m.kf_valid,
-                                                  min_score=0.15)
+            ids, scores, ok = kfdb.top_candidates_grouped(
+                st.db, bow, 3, ms.covisibility_matrix(st.m),
+                exclude=~st.m.kf_valid, min_score=0.15)
             # metric maps (stereo/RGB-D or IMU-initialized): the weld must
             # not rescale (reference bFixScale; merge scale gate 0.9-1.1
             # LoopClosing.cc:130)
             fix_scale = bool(cfg.baseline > 0) or \
                 bool(getattr(tracker, "imu_ready", False))
+            # verify EVERY candidate: the best becomes the weld; any
+            # additional verified pair becomes a measured contact edge for
+            # the post-weld essential-graph pass (reference MergeLocal ends
+            # with the merge overload of OptimizeEssentialGraph,
+            # Optimizer.cc:1737 — with >= 2 contacts the old map's internal
+            # drift is redistributed instead of frozen by the rigid weld)
+            verified = []
             for c in range(3):
                 if not bool(ok[c]):
                     continue
                 tracker.key, k = jax.random.split(tracker.key)
-                s, R, t, n_inl = verify_merge(m, jnp.asarray(kf_id),
-                                              st.m, ids[c], k, cfg,
-                                              fix_scale=fix_scale)
-                if int(n_inl) < MIN_SIM3_INLIERS:
-                    continue
+                s_c, R_c, t_c, n_inl = verify_merge(
+                    m, jnp.asarray(kf_id), st.m, ids[c], k, cfg,
+                    fix_scale=fix_scale)
+                if int(n_inl) >= MIN_SIM3_INLIERS:
+                    verified.append((int(n_inl), int(ids[c]),
+                                     s_c, R_c, t_c))
+            if verified:
+                verified.sort(key=lambda v: -v[0])
+                _, c_best, s, R, t = verified[0]
+                c = int(np.nonzero(np.asarray(ids) == c_best)[0][0])
                 sw, Rw, tw = atlas_mod.sim3_from_cam_pair(
                     s, R, t, m.kf_R[kf_id], m.kf_t[kf_id],
                     st.m.kf_R[ids[c]], st.m.kf_t[ids[c]])
@@ -599,6 +679,36 @@ class LoopCloser:
                     merged, jnp.asarray(kf_id), tracker.cam.params,
                     tracker.cam.kind, cfg.lm_cfg)
                 merged = ms.update_landmark_stats(merged)
+                if len(verified) > 1:
+                    # >= 2 verified contact points: essential-graph pass
+                    # over the union (reference Optimizer.cc:1737 merge
+                    # overload). The best pair welded the maps rigidly;
+                    # each ADDITIONAL verified Sim3 measures the residual
+                    # old-map drift at its contact and the graph
+                    # redistributes it (camera-frame Sim3 measurements are
+                    # invariant to the world-coordinate weld).
+                    E = len(verified) - 1
+                    ei = np.full(E, kf_id, np.int32)
+                    ej = np.zeros(E, np.int32)
+                    es = np.ones(E, np.float32)
+                    eR = np.zeros((E, 3, 3), np.float32)
+                    et = np.zeros((E, 3), np.float32)
+                    eok = np.zeros(E, bool)
+                    for n_e, (_, cid, s_e, R_e, t_e) in enumerate(
+                            verified[1:]):
+                        ej[n_e] = cid + kf_off
+                        es[n_e] = float(s_e)
+                        eR[n_e] = np.asarray(R_e)
+                        et[n_e] = np.asarray(t_e)
+                        eok[n_e] = True
+                    merged, _ = correct_loop(
+                        merged, jnp.asarray(kf_id),
+                        jnp.asarray(c_best + kf_off), s, R, t,
+                        four_dof=bool(getattr(tracker, "imu_ready",
+                                              False)),
+                        extra_i=jnp.asarray(ei), extra_j=jnp.asarray(ej),
+                        extra_s=jnp.asarray(es), extra_R=jnp.asarray(eR),
+                        extra_t=jnp.asarray(et), extra_ok=jnp.asarray(eok))
                 if bool(getattr(tracker, "imu_ready", False)) and \
                         tracker.kf_imu is not None:
                     merged = local_mapping.local_inertial_ba(

@@ -81,6 +81,10 @@ class TrackerConfig:
     vel_rot_damp: float = 0.0
     baseline: float = 0.0      # stereo baseline (m); 0 = monocular
     th_depth: float = 35.0     # close-point gate in baseline units
+    # System.thFarPoints (reference System.cc:213-219 -> Tracking's
+    # mThFarPoints): depth-measured features beyond this distance (m) are
+    # discarded at keyframe landmark creation; 0 disables the gate
+    th_far_points: float = 0.0
     min_stereo_init_feats: int = 400
     # failure detection (reference Tracking.cc:1713 timestamp-jump map
     # spawn; LocalMapping.cc:159 bad-IMU forced reset)
@@ -89,6 +93,13 @@ class TrackerConfig:
     # visual dropout survived on pure IMU dead-reckoning before LOST
     # (reference time_recently_lost, Tracking.cc:1838-1851)
     time_recently_lost: float = 5.0
+    # Frames a dispatched program's host decision may lag behind (the
+    # reference's pipeline parallelism P1: tracking never blocks on its own
+    # frame). Depth 1 hides device compute only; a remote-chip link adds a
+    # ~30-40 ms fetch round trip on top of compute, so the decision vector
+    # of frame N-1 is still in flight when frame N is dispatched — depth 2
+    # hides compute + RTT (measured 22.7 -> ~50 fps on the tunnel).
+    pipeline_depth: int = 2
 
     @property
     def orb(self):
@@ -330,6 +341,8 @@ def stereo_initialize(m: ms.MapState, fr: FrameData, ts, cfg: TrackerConfig):
     L = m.lm_valid.shape[0]
     F = fr.uv.shape[0]
     good = fr.valid & (fr.depth > 0)
+    if cfg.th_far_points > 0:
+        good = good & (fr.depth < cfg.th_far_points)
     X = fr.xn * fr.depth[:, None]
     Xw = jnp.concatenate([X, fr.depth[:, None]], axis=-1)  # z = depth
     n_new = jnp.cumsum(good.astype(jnp.int32)) - 1
@@ -348,8 +361,8 @@ def stereo_initialize(m: ms.MapState, fr: FrameData, ts, cfg: TrackerConfig):
             jnp.where(good[:, None], fr.desc, m.lm_desc[slot])),
         lm_ref_kf=m.lm_ref_kf.at[slot].set(jnp.where(good, k0,
                                                      m.lm_ref_kf[slot])),
-        lm_first_kf=m.lm_first_kf.at[slot].set(
-            jnp.where(good, k0, m.lm_first_kf[slot])),
+        lm_first_ts=m.lm_first_ts.at[slot].set(
+            jnp.where(good, m.kf_ts[k0], m.lm_first_ts[slot])),
         lm_dist_max=m.lm_dist_max.at[slot].set(
             jnp.where(good, dmax, m.lm_dist_max[slot])),
         lm_normal=m.lm_normal.at[slot].set(
@@ -370,6 +383,8 @@ def create_close_landmarks(m: ms.MapState, kf_id, fr: FrameData,
     Tracking.cc:2996): points nearer than th_depth * baseline, best 128."""
     L = m.lm_valid.shape[0]
     th = cfg.th_depth * cfg.baseline
+    if cfg.th_far_points > 0:
+        th = min(th, cfg.th_far_points)
     freeF = (m.kf_feat_lm[kf_id] < 0) & fr.valid & (fr.depth > 0) &         (fr.depth < th)
     MAXC = min(128, fr.uv.shape[0])
     score = jnp.where(freeF, -fr.depth, -jnp.inf)    # closest first
@@ -393,8 +408,8 @@ def create_close_landmarks(m: ms.MapState, kf_id, fr: FrameData,
             jnp.where(sel_good[:, None], fr.desc[sel], m.lm_desc[slot])),
         lm_ref_kf=m.lm_ref_kf.at[slot].set(
             jnp.where(sel_good, kf_id, m.lm_ref_kf[slot])),
-        lm_first_kf=m.lm_first_kf.at[slot].set(
-            jnp.where(sel_good, kf_id, m.lm_first_kf[slot])),
+        lm_first_ts=m.lm_first_ts.at[slot].set(
+            jnp.where(sel_good, m.kf_ts[kf_id], m.lm_first_ts[slot])),
         lm_dist_max=m.lm_dist_max.at[slot].set(
             jnp.where(sel_good, dmax, m.lm_dist_max[slot])),
         lm_visible=m.lm_visible.at[slot].set(
@@ -679,8 +694,8 @@ def create_initial_map(m: ms.MapState, fr0: FrameData, fr1: FrameData,
             jnp.where(good[:, None], fr0.desc, m.lm_desc[slot])),
         lm_ref_kf=m.lm_ref_kf.at[slot].set(
             jnp.where(good, k0, m.lm_ref_kf[slot])),
-        lm_first_kf=m.lm_first_kf.at[slot].set(
-            jnp.where(good, k0, m.lm_first_kf[slot])),
+        lm_first_ts=m.lm_first_ts.at[slot].set(
+            jnp.where(good, m.kf_ts[k0], m.lm_first_ts[slot])),
         lm_dist_max=m.lm_dist_max.at[slot].set(
             jnp.where(good, dmax, m.lm_dist_max[slot])),
         lm_visible=m.lm_visible.at[slot].set(1),
@@ -778,14 +793,20 @@ def pose_inertial_step(m: ms.MapState, fr: FrameData, feat_lm, R, t,
 
 def _track_core_vi(fr: FrameData, m: ms.MapState, last, last_feat_lm,
                    R_last, t_last, ref_kf, cam_params, cam_kind,
-                   cfg: TrackerConfig, pre, anchor_kf, bias):
-    """Fused visual-inertial per-frame body: IMU prediction from the anchor
-    keyframe + visual tracking + pose-inertial refinement, compiled as ONE
-    program (the reference runs PredictStateIMU (Tracking.cc:1632), the
-    visual TrackLocalMap and PoseInertialOptimizationLastKeyFrame
+                   cfg: TrackerConfig, pre, anchor_kf, bias,
+                   acc, gyro, dts, calib):
+    """Fused visual-inertial per-frame body: since-KF preintegration extend
+    + IMU prediction from the anchor keyframe + visual tracking +
+    pose-inertial refinement, compiled as ONE program (the reference runs
+    PreintegrateIMU (Tracking.cc:1528), PredictStateIMU (Tracking.cc:1632),
+    the visual TrackLocalMap and PoseInertialOptimizationLastKeyFrame
     (Optimizer.cc:4391) as separate steps of the same frame; fusing them
-    removes two host round-trips per frame — the structural cause of the
-    round-3 0.44 fps flagship number)."""
+    removes three host round-trips per frame — the structural cause of the
+    round-3 0.44 fps flagship number). Returns the extended preintegration
+    as the tuple's last element."""
+    from .. import imu as imu_mod
+    pre = imu_mod.preintegrate(acc, gyro, dts, dts > 0, pre.bias, calib,
+                               init=pre)
     R_pred, t_pred, v_pred = imu_predict_from_kf(m, anchor_kf, bias, pre)
     Ri, ti = lie.se3_inv(R_last, t_last)
     vel = lie.se3_mul(R_pred, t_pred, Ri, ti)
@@ -809,37 +830,40 @@ def _track_core_vi(fr: FrameData, m: ms.MapState, last, last_feat_lm,
     rel = lie.se3_mul(R_f, t_f, Rri, tri)
     info = info.at[2].set(
         jnp.isfinite(vel_new[1]).all().astype(jnp.float32))
-    return fr, out, vel_new, rel, info, v_f, b_f
+    return fr, out, vel_new, rel, info, v_f, b_f, pre
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def track_step_vi_stereo(img_l, img_r, m: ms.MapState, last, last_feat_lm,
                          R_last, t_last, ref_kf, cam_params, cam_kind,
-                         cfg: TrackerConfig, pre, anchor_kf, bias):
+                         cfg: TrackerConfig, pre, anchor_kf, bias,
+                         acc, gyro, dts, calib):
     fr = extract_stereo_frame(img_l, img_r, cam_params, cam_kind, cfg)
     return _track_core_vi(fr, m, last, last_feat_lm, R_last, t_last,
                           ref_kf, cam_params, cam_kind, cfg, pre,
-                          anchor_kf, bias)
+                          anchor_kf, bias, acc, gyro, dts, calib)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def track_step_vi_mono(img, m: ms.MapState, last, last_feat_lm,
                        R_last, t_last, ref_kf, cam_params, cam_kind,
-                       cfg: TrackerConfig, pre, anchor_kf, bias):
+                       cfg: TrackerConfig, pre, anchor_kf, bias,
+                       acc, gyro, dts, calib):
     fr = extract_frame(img, cam_params, cam_kind, cfg)
     return _track_core_vi(fr, m, last, last_feat_lm, R_last, t_last,
                           ref_kf, cam_params, cam_kind, cfg, pre,
-                          anchor_kf, bias)
+                          anchor_kf, bias, acc, gyro, dts, calib)
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam_kind"))
 def track_step_vi_framedata(fr: FrameData, m: ms.MapState, last,
                             last_feat_lm, R_last, t_last, ref_kf,
                             cam_params, cam_kind, cfg: TrackerConfig,
-                            pre, anchor_kf, bias):
+                            pre, anchor_kf, bias,
+                            acc, gyro, dts, calib):
     return _track_core_vi(fr, m, last, last_feat_lm, R_last, t_last,
                           ref_kf, cam_params, cam_kind, cfg, pre,
-                          anchor_kf, bias)
+                          anchor_kf, bias, acc, gyro, dts, calib)
 
 
 @jax.jit
@@ -933,10 +957,13 @@ class Tracker:
         self.frames_lost = 0
         self._mapping_enabled = True
         self._kf_prev_override = None   # set by Atlas merge (chain splice)
-        # pipelined frame loop: decisions lag one frame so the device->host
-        # info fetch overlaps the next frame's compute (pure-visual only)
+        # pipelined frame loop: decisions lag cfg.pipeline_depth frames so
+        # the device->host info fetch (compute + link round trip) overlaps
+        # subsequent frames' compute. Each entry: [out_tuple, ts, corr]
+        # where corr is the accumulated keyframe-BA gauge delta applied to
+        # map state since that frame was dispatched (None = identity).
         self.pipelined = True
-        self._pending = None
+        self._pending = []
         # trajectory: list of (ts, map_gen, ref_kf, R_cr, t_cr) — pose
         # relative to a reference KF of a specific map generation
         # (reference mlRelativeFramePoses + mlpReferences, Tracking.h)
@@ -1042,7 +1069,9 @@ class Tracker:
         IMU batch): samples cover (t_lastframe, ts]."""
         self._pre_inertial_frame(ts)
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
-        self._update_pre_from_kf()
+        if not (self._use_vi_fused() and self.last is not None):
+            # fused frames extend the since-KF chain IN-PROGRAM
+            self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
                 self.state == "OK" and self.last is not None and \
                 not self._use_vi_fused():
@@ -1056,7 +1085,8 @@ class Tracker:
                               imu_gyro, imu_ts):
         self._pre_inertial_frame(ts)
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
-        self._update_pre_from_kf()
+        if not (self._use_vi_fused() and self.last is not None):
+            self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
                 self.state == "OK" and self.last is not None and \
                 not self._use_vi_fused():
@@ -1071,7 +1101,8 @@ class Tracker:
         """RGB-D + IMU frame (reference IMU_RGBD sensor mode)."""
         self._pre_inertial_frame(ts)
         self._accumulate_imu(imu_acc, imu_gyro, imu_ts, ts)
-        self._update_pre_from_kf()
+        if not (self._use_vi_fused() and self.last is not None):
+            self._update_pre_from_kf()
         if self.imu_ready and self.imu_predict_ok and \
                 self.state == "OK" and self.last is not None and \
                 not self._use_vi_fused():
@@ -1198,6 +1229,17 @@ class Tracker:
         # rotational information through the inertial edge itself.
         self._vel_trusted = False
         self._v_pred = v_pred
+
+    def _fused_frame_imu(self, cap=64):
+        """Padded IMU batch for the fused VI program (which extends the
+        since-KF preintegration IN-PROGRAM — one dispatch per frame instead
+        of a separate continue_preintegration launch). Zero-length batch
+        when the frame carried no samples."""
+        acc, gyro, dts = self._padded_frame_imu(cap)
+        if acc is None:
+            z = jnp.zeros((cap, 3), jnp.float32)
+            return z, z, jnp.zeros(cap, jnp.float32)
+        return acc, gyro, dts
 
     def _padded_frame_imu(self, cap=64):
         if getattr(self, "_frame_imu", None) is None:
@@ -1448,7 +1490,8 @@ class Tracker:
                     jnp.asarray(self.ref_kf, jnp.int32),
                     self.cam.params, self.cam.kind, cfg,
                     self._pre_from_kf,
-                    jnp.asarray(self._anchor_kf, jnp.int32), self.bias)
+                    jnp.asarray(self._anchor_kf, jnp.int32), self.bias,
+                    *self._fused_frame_imu(), self.calib)
             else:
                 out_tuple = track_step_framedata(
                     fr, self.m, self.last, self.last_feat_lm,
@@ -1486,7 +1529,8 @@ class Tracker:
                         jnp.asarray(self.ref_kf, jnp.int32),
                         self.cam.params, self.cam.kind, cfg,
                         self._pre_from_kf,
-                        jnp.asarray(self._anchor_kf, jnp.int32), self.bias)
+                        jnp.asarray(self._anchor_kf, jnp.int32), self.bias,
+                        *self._fused_frame_imu(), self.calib)
                 if isinstance(img, tuple):
                     out_tuple = track_step_vi_stereo(img[0], img[1], *args)
                 else:
@@ -1545,40 +1589,42 @@ class Tracker:
 
     def _track_pipelined(self, out_tuple, ts: float):
         fr, out, vel_new, rel, info = out_tuple[:5]
-        prev = self._pending
-        self._pending = (out_tuple, ts)
+        self._pending.append([out_tuple, ts, None])
         # optimistic device-side state for the next dispatch (no sync):
-        # vetting happens when this frame's decision is made next call
+        # vetting happens when this frame's decision is made depth frames
+        # later
         self.m = out.m
         self.last = fr
         self.last_feat_lm = out.feat_lm
         self.R_last, self.t_last = out.R, out.t
         self.vel = vel_new
         self.has_vel = True
-        if len(out_tuple) == 7:
-            # fused VI program: refined velocity + bias ride along
+        if len(out_tuple) >= 7:
+            # fused VI program: refined velocity + bias + extended since-KF
+            # preintegration ride along
             self.v_cur = out_tuple[5]
             self.bias = out_tuple[6]
+            if len(out_tuple) >= 8:
+                self._pre_from_kf = out_tuple[7]
         self.frames_since_kf += 1
-        if prev is not None:
-            self._decide_pending(*prev)
+        while len(self._pending) > self.cfg.pipeline_depth:
+            self._decide_pending(*self._pending.pop(0))
         return self.state, (out.R, out.t)
 
     def flush(self):
-        """Resolve the in-flight frame's deferred decision (call at
+        """Resolve the in-flight frames' deferred decisions (call at
         sequence end or before reading the trajectory/map)."""
-        if self._pending is not None:
-            prev, self._pending = self._pending, None
-            self._decide_pending(*prev)
+        while self._pending:
+            self._decide_pending(*self._pending.pop(0))
 
-    def _decide_pending(self, out_tuple, ts: float):
+    def _decide_pending(self, out_tuple, ts: float, corr=None):
         """Deferred host decisions for an already-dispatched frame: state
         machine, trajectory entry, keyframe insertion (the sync path's
         _post_track, minus the per-frame fallback retries — recovery goes
         through relocalization instead)."""
         cfg = self.cfg
         fr, out, vel_new, rel, info = out_tuple[:5]
-        v_bias = (out_tuple[5], out_tuple[6]) if len(out_tuple) == 7 \
+        v_bias = (out_tuple[5], out_tuple[6]) if len(out_tuple) >= 7 \
             else None
         info_h = np.asarray(info)
         n_inl = int(info_h[0])
@@ -1586,13 +1632,13 @@ class Tracker:
         if not bool(info_h[2] > 0.5):
             self.has_vel = False
         if n_inl < cfg.min_track_points:
-            # this frame was bad — the in-flight successor built on it is
-            # poisoned too: drop it and recover (IMU dead-reckoning first
+            # this frame was bad — the in-flight successors built on it are
+            # poisoned too: drop them and recover (IMU dead-reckoning first
             # on an initialized inertial map, else relocalization)
             self.state = "RECENTLY_LOST"
             self.has_vel = False
             self.frames_lost += 1
-            self._pending = None
+            self._pending = []
             self.last = None
             if not self._use_vi_fused():
                 # visual: re-seed the recovery search at the reference KF.
@@ -1616,17 +1662,25 @@ class Tracker:
         # trajectory-relative entry is then recomputed against the
         # reference KF's CURRENT pose (otherwise every keyframe's BA
         # correction leaks into the resolved trajectory as error)
-        corr = getattr(self, "_decide_corr", None)
         if corr is not None:
             out = out._replace(R=lie.matmat(out.R, corr[0]),
                                t=lie.matvec(out.R, corr[1]) + out.t)
-            self._decide_corr = None
-        Rr, tr_ = self.m.kf_R[ref_kf_new], self.m.kf_t[ref_kf_new]
-        Rri, tri = lie.se3_inv(Rr, tr_)
-        rel = lie.se3_mul(out.R, out.t, Rri, tri)
+            # a keyframe BA moved the map since this frame dispatched:
+            # recompute the trajectory-relative entry against the reference
+            # KF's CURRENT pose. Without a correction the in-program rel is
+            # exact already — reusing it keeps the common frame free of
+            # per-frame device dispatches (each tiny program still costs a
+            # slot on the remote device queue).
+            Rr, tr_ = self.m.kf_R[ref_kf_new], self.m.kf_t[ref_kf_new]
+            Rri, tri = lie.se3_inv(Rr, tr_)
+            rel = lie.se3_mul(out.R, out.t, Rri, tri)
         self.trajectory.append((ts, self.map_gen, ref_kf_new, rel[0],
                                 rel[1]))
-        need = self._need_new_kf(n_inl, info_h, ts)
+        # the decision belongs to a frame len(_pending) frames back:
+        # evaluate the interval conditions at ITS frame count, not the
+        # optimistically advanced one (the lag over-fired c1a/c1b)
+        need = self._need_new_kf(n_inl, info_h, ts,
+                                 lag=len(self._pending))
         if need and self._mapping_enabled:
             loops_before = self.n_loops_closed
             k = self._insert_keyframe(fr, out, ts, refresh_anchors=False,
@@ -1635,8 +1689,8 @@ class Tracker:
                 pass
             elif self.n_loops_closed != loops_before:
                 # a loop correction moved the whole map: the in-flight
-                # frame's results are stale — drop them and re-anchor
-                self._pending = None
+                # frames' results are stale — drop them and re-anchor
+                self._pending = []
                 self.last = None
             else:
                 # the keyframe's association table was enriched by
@@ -1647,7 +1701,8 @@ class Tracker:
                 self.last = fr
                 self.last_feat_lm = self.m.kf_feat_lm[k]
 
-    def _need_new_kf(self, n_inl: int, info_h, ts: float) -> bool:
+    def _need_new_kf(self, n_inl: int, info_h, ts: float,
+                     lag: int = 0) -> bool:
         """Full NeedNewKeyFrame condition set (reference Tracking.cc:
         2840-2994). Mapping here is synchronous, so the "local mapper idle"
         modulation maps to the min_kf_interval throttle (the mapper is
@@ -1670,8 +1725,9 @@ class Tracker:
         # kf_ref_ratio here
         th_ratio = cfg.kf_ref_ratio
         need_close = stereoish and close_trk < 100 and close_untrk > 70
-        c1a = self.frames_since_kf >= cfg.max_kf_interval
-        c1b = self.frames_since_kf >= cfg.min_kf_interval
+        fs = self.frames_since_kf - lag
+        c1a = fs >= cfg.max_kf_interval
+        c1b = fs >= cfg.min_kf_interval
         c1c = stereoish and c1b and \
             (n_inl < 0.25 * ref_tracked or need_close)
         c2 = (n_inl < th_ratio * max(self._ref_matches, 1)
@@ -1714,7 +1770,7 @@ class Tracker:
         fr, out, vel_new, rel, info = out_tuple[:5]
         # fused VI program: refined velocity + bias ride along, and the
         # pose-inertial refinement already happened in-program
-        v_bias = (out_tuple[5], out_tuple[6]) if len(out_tuple) == 7 \
+        v_bias = (out_tuple[5], out_tuple[6]) if len(out_tuple) >= 7 \
             else None
         # the frame's ONE device->host sync: all decision scalars together
         info_h = np.asarray(info)
@@ -1752,6 +1808,10 @@ class Tracker:
                 vel_new, rel = self._recompute_vel_rel(out)
                 vel_finite = bool(jnp.isfinite(vel_new[1]).all())
         self.m = out.m
+        if len(out_tuple) >= 8:
+            # fused VI program extended the since-KF preintegration
+            # in-program — adopt it before any dead-reckoning fallback
+            self._pre_from_kf = out_tuple[7]
         if n_inl < cfg.min_track_points:
             self.state = "RECENTLY_LOST"
             self.has_vel = False
@@ -1847,9 +1907,16 @@ class Tracker:
         k = self._free_kf_slots.pop(0)
         self._rebase_trajectory(k)
         if self.loop_closer is not None:
-            # a recycled slot must not resurrect a historical loop edge
+            # a recycled slot must not resurrect a historical loop edge or
+            # a carried candidate Sim3 anchored on the culled keyframe
             self.loop_closer.past_loop_edges = [
                 e for e in self.loop_closer.past_loop_edges if k not in e]
+            if k in (self.loop_closer._pending_slot,
+                     self.loop_closer._pending_cand):
+                self.loop_closer._pending_sim3 = None
+                self.loop_closer._pending_slot = -1
+                self.loop_closer._pending_cand = -1
+                self.loop_closer._pending_count = 0
         return k
 
     def _rebase_trajectory(self, slot: int):
@@ -1938,14 +2005,14 @@ class Tracker:
             dR, dt = lie.se3_mul(Ri, ti, self.m.kf_R[k], self.m.kf_t[k])
             self.R_last, self.t_last = lie.se3_mul(
                 self.R_last, self.t_last, dR, dt)
-            # the same delta belongs to the IN-FLIGHT frame's pending
-            # decision (it dispatched before this insertion)
-            prev_corr = getattr(self, "_decide_corr", None)
-            if prev_corr is None:
-                self._decide_corr = (dR, dt)
-            else:
-                self._decide_corr = lie.se3_mul(prev_corr[0], prev_corr[1],
-                                                dR, dt)
+            # the same delta belongs to every IN-FLIGHT frame's pending
+            # decision (they all dispatched before this insertion)
+            for entry in self._pending:
+                if entry[2] is None:
+                    entry[2] = (dR, dt)
+                else:
+                    entry[2] = lie.se3_mul(entry[2][0], entry[2][1],
+                                           dR, dt)
         return k
 
     def _record_kf_imu(self, k: int, ts: float, prev: int = None,
@@ -1988,6 +2055,15 @@ class Tracker:
                 jnp.arange(cap) < n, b_rec, self.calib)
             self.kf_imu = inertial_mod.set_kf_imu(
                 self.kf_imu, k, pre, k - 1 if prev is None else prev)
+            self.m = self.m._replace(
+                kf_v=self.m.kf_v.at[k].set(v_rec),
+                kf_bias=self.m.kf_bias.at[k].set(b_rec))
+        elif self.kf_imu is not None:
+            # no samples for this interval: a RECYCLED slot must not keep
+            # the previous occupant's preintegration entry (it would form a
+            # bogus inertial edge); still record velocity/bias state
+            self.kf_imu = self.kf_imu._replace(
+                valid=self.kf_imu.valid.at[k].set(False))
             self.m = self.m._replace(
                 kf_v=self.m.kf_v.at[k].set(v_rec),
                 kf_bias=self.m.kf_bias.at[k].set(b_rec))
@@ -2160,7 +2236,7 @@ class Tracker:
         self._ref_matches = 0
         self.frames_since_kf = 0
         self.frames_lost = 0
-        self._pending = None
+        self._pending = []
 
     def reset_active_map(self):
         """Throw away the active map and re-initialize (reference

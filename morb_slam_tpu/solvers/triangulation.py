@@ -38,14 +38,43 @@ def triangulate(x1, x2, P1, P2):
         x2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :],
     ]
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    # inhomogeneous least squares: A[:, :3] X = -A[:, 3] (w=1 gauge)
-    M = A[..., :, :3]
-    b = -A[..., :, 3]
-    MtM = jnp.einsum('...ij,...ik->...jk', M, M, precision='highest')
-    Mtb = jnp.einsum('...ij,...i->...j', M, b, precision='highest')
-    MtM = MtM + 1e-10 * jnp.eye(3, dtype=A.dtype)
-    return jnp.einsum('...ab,...b->...a', tpu_linalg.inv3x3(MtM), Mtb,
-                      precision='highest')
+    # HOMOGENEOUS solution (the eigenvector of A^T A with the smallest
+    # eigenvalue) via inverse iteration with a Schur-complement 4x4 solve:
+    # pure VPU arithmetic, no eigh custom call, and it converges to the
+    # same solution (the eigengap at the parallax limit makes one or two
+    # iterations essentially exact). The plain w=1 inhomogeneous solve is
+    # NOT equivalent near the parallax limit — its solution differs enough
+    # to fail the reprojection gate, which starved the landmark yield and
+    # broke loop-closure recall (measured on the ring-circuit e2e).
+    AtA = jnp.einsum('...ij,...ik->...jk', A, A, precision='highest')
+    B = AtA[..., :3, :3]
+    c = AtA[..., :3, 3]
+    d = AtA[..., 3, 3]
+    eps = 1e-9 * (1.0 + jnp.einsum('...ii->...', AtA))
+    Binv = tpu_linalg.inv3x3(
+        B + eps[..., None, None] * jnp.eye(3, dtype=A.dtype))
+    k = jnp.einsum('...ab,...b->...a', Binv, c, precision='highest')
+    s = d + eps - jnp.einsum('...a,...a->...', c, k, precision='highest')
+    s = jnp.where(jnp.abs(s) < 1e-20, 1e-20, s)
+
+    def solve4(x_a, x_w):
+        """(AtA + eps I) y = x via the Schur complement on the w row."""
+        Bx = jnp.einsum('...ab,...b->...a', Binv, x_a, precision='highest')
+        y_w = (x_w - jnp.einsum('...a,...a->...', c, Bx,
+                                precision='highest')) / s
+        y_a = Bx - k * y_w[..., None]
+        return y_a, y_w
+
+    # seed: the w=1 inhomogeneous least-squares direction [-B^-1 c, 1]
+    x_a, x_w = -k, jnp.ones_like(d)
+    for _ in range(3):
+        n = jnp.sqrt(jnp.sum(x_a * x_a, axis=-1) + x_w * x_w)
+        n = jnp.where(n < 1e-20, 1e-20, n)
+        x_a, x_w = x_a / n[..., None], x_w / n
+        x_a, x_w = solve4(x_a, x_w)
+    w_safe = jnp.where(jnp.abs(x_w) < 1e-12,
+                       jnp.where(x_w < 0, -1e-12, 1e-12), x_w)
+    return x_a / w_safe[..., None]
 
 
 def triangulate_two_view(x1, x2, R21, t21):

@@ -107,12 +107,17 @@ class System:
             n_levels=settings.n_levels,
             baseline=baseline,
             th_depth=settings.th_depth,
+            th_far_points=settings.th_far_points,
         )
         if tracker_overrides:
             kw.update(tracker_overrides)
         cfg = tracking.TrackerConfig(**kw)
         self.tracker = tracking.Tracker(cam, cfg, voc=self.voc,
                                         imu_calib=calib)
+        if not settings.loop_closing and \
+                self.tracker.loop_closer is not None:
+            # loopClosing YAML flag (reference System.cc:116-120)
+            self.tracker.loop_closer = None
         self.localization_only = False
 
         if settings.load_atlas:
@@ -203,6 +208,17 @@ class System:
 
     def save_keyframe_trajectory_tum(self, path):
         trajectory.write_tum(path, self._keyframe_poses())
+
+    def save_sub_trajectory(self, path, t_start: float, t_end: float,
+                            fmt: str = "tum"):
+        """Trajectory restricted to [t_start, t_end] (reference
+        Tracking::SaveSubTrajectory debug dumps, Tracking.h:102-105)."""
+        poses = [p for p in self._frame_poses()
+                 if t_start <= p[0] <= t_end]
+        writer = {"tum": trajectory.write_tum,
+                  "euroc": trajectory.write_euroc,
+                  "kitti": trajectory.write_kitti}[fmt]
+        writer(path, poses)
 
     def save_atlas(self, path):
         """Whole-Atlas checkpoint: active map + stashed maps + inertial

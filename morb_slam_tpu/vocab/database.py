@@ -53,6 +53,63 @@ def top_candidates(db: KeyframeDatabase, bow_q, n: int, exclude=None,
     return ids, vals, vals > min_score
 
 
+def top_candidates_grouped(db: KeyframeDatabase, bow_q, n: int, covis,
+                           exclude=None, min_score: float = 0.0):
+    """Covisibility-group accumulated candidate scoring (reference
+    KeyFrameDatabase::DetectNBestCandidates, KeyFrameDatabase.cc:143-198):
+
+      * only keyframes sharing > 0.8 * maxCommonWords words with the query
+        are candidates (the shared-word prefilter);
+      * each candidate's GROUP score accumulates the scores of its top-10
+        covisible neighbors that are also candidates — a true loop revisit
+        lights up a whole covisible cluster, while perceptual aliasing
+        lights up isolated keyframes;
+      * groups below 0.75 * bestAccScore are dropped, and each retained
+        group is represented by its best-scoring member.
+
+    `covis` is the (K, K) covisibility weight matrix of the map the
+    database indexes. Returns (ids (n,), scores (n,), ok (n,)) where
+    scores are the winners' OWN L1 scores (for absolute gating)."""
+    K = db.bow.shape[0]
+    s = tree.l1_score(bow_q, db.bow)                       # (K,)
+    ok = db.valid if exclude is None else (db.valid & ~exclude)
+    shared = jnp.sum((db.bow > 0) & (bow_q > 0)[None, :], axis=1)
+    max_shared = jnp.max(jnp.where(ok, shared, 0))
+    cand = ok & (shared > 0.8 * max_shared) & (shared > 0)
+    # accumulate EXCESS score over the map's baseline similarity, not raw
+    # score: with a compact vocabulary every keyframe scores ~0.5 against
+    # everything, and a raw-sum group score degenerates into a cluster-SIZE
+    # contest that outvotes the true revisit (the reference's 1M-word
+    # vocabulary makes raw scores near zero away from the revisit, so its
+    # raw sum is implicitly baseline-free)
+    n_ok = jnp.sum(ok)
+    s_base = jnp.sum(jnp.where(ok, s, 0.0)) / jnp.clip(n_ok, 1, None)
+    sc = jnp.where(cand, jnp.maximum(s - s_base, 0.0), 0.0)
+
+    G = min(10, K)
+    w_nb, nb = jax.lax.top_k(covis, G)                     # (K, G)
+    nb_ok = (w_nb > 0) & cand[nb]
+    sc_nb = jnp.where(nb_ok, sc[nb], 0.0)                  # (K, G)
+    acc = sc + jnp.sum(sc_nb, axis=1)                      # group score
+    # best member of each group (self vs neighbors)
+    nb_best_pos = jnp.argmax(sc_nb, axis=1)
+    nb_best_val = jnp.take_along_axis(sc_nb, nb_best_pos[:, None],
+                                      axis=1)[:, 0]
+    self_wins = sc >= nb_best_val
+    best_id = jnp.where(
+        self_wins, jnp.arange(K),
+        jnp.take_along_axis(nb, nb_best_pos[:, None], axis=1)[:, 0])
+    acc = jnp.where(cand, acc, -1.0)
+    retained = cand & (acc >= 0.75 * jnp.max(acc))
+    # per-KF winner score: the best group score among groups it represents
+    winner = jax.ops.segment_max(
+        jnp.where(retained, acc, -1.0),
+        jnp.where(retained, best_id, K), num_segments=K + 1)[:K]
+    winner = jnp.maximum(winner, -1.0)
+    vals, ids = jax.lax.top_k(winner, n)
+    return ids, s[ids], (vals > 0) & (s[ids] > min_score)
+
+
 def top_candidates_sharded(db: KeyframeDatabase, bow_q, n: int, mesh,
                            exclude=None, min_score: float = 0.0,
                            axis: str = "kf"):

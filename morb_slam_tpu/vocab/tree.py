@@ -151,3 +151,109 @@ def l1_score(q, db):
     diff = jnp.sum(jnp.abs(qb[:, None, :] - db[None, :, :]), axis=-1)
     s = 1.0 - 0.5 * diff
     return s if q.ndim == 2 else s[0]
+
+
+# ---------------------------------------------------------------------------
+# ORBvoc text-format interchange (reference DBoW2 TemplatedVocabulary
+# loadFromTextFile / saveToTextFile, TemplatedVocabulary.h:1338-1430):
+# header "k L scoring weighting", then one node per line
+# "parent_id is_leaf b0 .. b31 weight" in creation order (root implicit).
+# ---------------------------------------------------------------------------
+
+def _bytes_to_u32(b):
+    """(N, 32) uint8 descriptor bytes -> (N, 8) uint32 (little-endian)."""
+    b = np.ascontiguousarray(b, np.uint8)
+    return b.view("<u4").reshape(b.shape[0], 8)
+
+
+def _u32_to_bytes(w):
+    """(N, 8) uint32 -> (N, 32) uint8 (little-endian)."""
+    return np.ascontiguousarray(np.asarray(w, "<u4")).view(np.uint8) \
+        .reshape(-1, 32)
+
+
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """Import a reference-format vocabulary (ORBvoc.txt and anything
+    DBoW2's saveToTextFile produces) into the dense-array Vocabulary.
+
+    The DBoW2 tree may be INCOMPLETE (clusters smaller than k terminate a
+    branch early). The dense complete tree reproduces its descent exactly:
+      * a parent's missing children are filled with a copy of its first
+        real child's center — at equal distance argmin picks the lower
+        index, so a filled copy is never selected;
+      * an early leaf is propagated to the bottom level through a chain of
+        self-copies (descent through identical centers stays on child 0),
+        and its word weight lands at the chain's bottom position.
+    Word ids are positional (not DBoW2's creation-order ids) — BoW vectors
+    are internal, only self-consistency matters."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, depth = int(header[0]), int(header[1])
+        parents, leaf_flags, byte_rows, wts_in = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf_flags.append(int(parts[1]) > 0)
+            byte_rows.append([int(float(x)) for x in parts[2:34]])
+            wts_in.append(float(parts[34]))
+    n = len(parents)
+    if n == 0:
+        raise ValueError(f"{path}: no vocabulary nodes")
+    desc_u32 = np.zeros((n + 1, 8), np.uint32)
+    desc_u32[1:] = _bytes_to_u32(np.asarray(byte_rows, np.uint8))
+    node_w = np.zeros(n + 1, np.float32)
+    node_w[1:] = np.asarray(wts_in, np.float32)
+    children = {}
+    for i, p in enumerate(parents):
+        children.setdefault(p, []).append(i + 1)   # ids 1..n, root = 0
+
+    centers = [np.zeros((k ** (l + 1), 8), np.uint32)
+               for l in range(depth)]
+    frontier = [(0, 0)]                            # (node id, position)
+    for l in range(depth):
+        C = centers[l]
+        nxt = []
+        for node, p in frontier:
+            ch = children.get(node, [])[:k]
+            if ch:
+                for s_i, c_id in enumerate(ch):
+                    C[p * k + s_i] = desc_u32[c_id]
+                    nxt.append((c_id, p * k + s_i))
+                for s_i in range(len(ch), k):
+                    C[p * k + s_i] = desc_u32[ch[0]]
+            else:
+                # early leaf: self-copy chain down to the word level
+                for s_i in range(k):
+                    C[p * k + s_i] = desc_u32[node]
+                nxt.append((node, p * k))
+        frontier = nxt
+    weights = np.zeros(k ** depth, np.float32)
+    for node, p in frontier:
+        weights[p] = node_w[node]
+    return Vocabulary(centers=tuple(jnp.asarray(c) for c in centers),
+                      weights=jnp.asarray(weights), k=k)
+
+
+def save_orbvoc_text(voc: Vocabulary, path: str):
+    """Export the dense vocabulary in the reference text format (DBoW2
+    saveToTextFile layout; scoring=0 L1, weighting=0 TF-IDF)."""
+    k, depth = voc.k, voc.depth
+    lines = [f"{k} {depth} 0 0"]
+    # ids in emission order: level by level, position-major (root = 0)
+    next_id = 1
+    id_of = {(-1, 0): 0}
+    for l in range(depth):
+        C = _u32_to_bytes(np.asarray(voc.centers[l]))
+        w_leaf = np.asarray(voc.weights)
+        for p in range(voc.centers[l].shape[0]):
+            id_of[(l, p)] = next_id
+            next_id += 1
+            parent = id_of[(l - 1, p // k)]
+            is_leaf = 1 if l == depth - 1 else 0
+            w = float(w_leaf[p]) if is_leaf else 0.0
+            byte_s = " ".join(str(int(b)) for b in C[p])
+            lines.append(f"{parent} {is_leaf} {byte_s} {w:.6f}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -224,3 +224,64 @@ def test_deterministic_replay():
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_array_equal(lm1, lm2)
     np.testing.assert_array_equal(kt1, kt2)
+
+
+def test_run_live_inertial_on_recorded_clip(tmp_path):
+    """run_live --imu: the visual-inertial live path end-to-end on a
+    recorded clip + IMU CSV (reference mono_inertial_realsense_D435i.cc
+    class — capture + per-frame IMU batches in (t_prev, t_frame])."""
+    import cv2
+    import numpy as np
+    from synthetic_world import PlaneWorld, analytic_pose, imu_between
+    from morb_slam_tpu.examples import run_live
+
+    W, H, FX = 384, 288, 300.0
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    video = str(tmp_path / "seq.avi")
+    wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 20.0,
+                         (W, H), isColor=False)
+    assert wr.isOpened()
+    n_frames = 80
+    rng = np.random.default_rng(1)
+    prev_t = -0.05
+    imu_lines = ["# ts,gx,gy,gz,ax,ay,az"]
+    for i in range(n_frames):
+        t = i * 0.05
+        R, tc = analytic_pose(t)
+        wr.write(np.clip(world.render(R.astype(np.float32),
+                                      tc.astype(np.float32)),
+                         0, 255).astype(np.uint8))
+        ts_i, acc, gyr = imu_between(prev_t, t, rng=rng, noise_g=2.4e-3,
+                                     noise_a=2.8e-2)
+        for j in range(len(ts_i)):
+            imu_lines.append(
+                "%.6f,%.7f,%.7f,%.7f,%.7f,%.7f,%.7f"
+                % (ts_i[j], gyr[j, 0], gyr[j, 1], gyr[j, 2],
+                   acc[j, 0], acc[j, 1], acc[j, 2]))
+        prev_t = t
+    wr.release()
+    imu_csv = str(tmp_path / "imu.csv")
+    open(imu_csv, "w").write("\n".join(imu_lines) + "\n")
+
+    yaml = tmp_path / "cam.yaml"
+    yaml.write_text(
+        'File.version: "1.0"\n'
+        "Camera.type: PinHole\n"
+        f"Camera1.fx: {FX}\nCamera1.fy: {FX}\n"
+        f"Camera1.cx: {W / 2}\nCamera1.cy: {H / 2}\n"
+        f"Camera.width: {W}\nCamera.height: {H}\n"
+        "Camera.fps: 20\n"
+        "IMU.NoiseGyro: 1.7e-4\nIMU.NoiseAcc: 2.0e-3\n"
+        "IMU.GyroWalk: 1.9e-5\nIMU.AccWalk: 3.0e-3\n"
+        "IMU.Frequency: 200.0\n"
+        "ORBextractor.nFeatures: 500\n"
+        "ORBextractor.nLevels: 4\n")
+    traj = str(tmp_path / "traj.txt")
+    rc = run_live.main(["--source", video, "--settings", str(yaml),
+                        "--imu", imu_csv, "--traj", traj,
+                        "--max-frames", str(n_frames),
+                        "--max-kf", "64", "--max-lm", "8000"])
+    assert rc == 0
+    lines = open(traj).readlines()
+    assert len(lines) > 40, len(lines)

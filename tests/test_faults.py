@@ -196,3 +196,79 @@ def test_keyframe_slot_recycling():
     traj = tr.trajectory_world()
     pts = np.asarray([p for _, p in traj])
     assert np.isfinite(pts).all()
+
+
+def test_keyframe_slot_recycling_inertial():
+    """Slot recycling on an IMU-INITIALIZED map: the inertial BA windows
+    must follow the preintegration chain (ki.prev), not slot arithmetic —
+    a recycled low slot id inserted after high slots would otherwise wrap
+    the window over arbitrary non-temporal keyframes and corrupt the
+    inertial edges (reference LocalInertialBA builds its window via mPrevKF
+    chaining, Optimizer.cc:2324)."""
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0)
+    b = 0.12
+    max_kf = 14
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=500,
+                                 max_kf=max_kf, max_lm=8000, n_levels=4,
+                                 baseline=b, min_stereo_init_feats=200,
+                                 max_kf_interval=6)
+    calib = imu.make_calib(np.eye(3), np.zeros(3), 1.7e-4, 2e-3, 1.9e-5,
+                           3e-3, 200.0)
+    tr = tracking.Tracker(cam, cfg, imu_calib=calib)
+
+    def pose_fn(t):
+        # oscillates over the same ground (keyframes become redundant ->
+        # culled -> slots recycle) with ~1 m/s^2 accelerations so the
+        # staged IMU init's excitation gates pass
+        center = np.array([0.5 + 0.5 * np.sin(1.2 * t),
+                           0.15 * np.sin(1.9 * t),
+                           0.08 * np.sin(2.4 * t)])
+        from scipy.spatial.transform import Rotation as _Rot
+        R_wc = _Rot.from_rotvec([0.0, 0.05 * np.sin(0.5 * t), 0.0]
+                                ).as_matrix()
+        R_cw = R_wc.T
+        return R_cw, -R_cw @ center
+
+    rng = np.random.default_rng(3)
+    prev_t = -0.05
+    states = []
+    gt = []
+    for i in range(200):
+        t = i * 0.05
+        R, tc = pose_fn(t)
+        gt.append(-(R.T @ tc))
+        il = world.render(R.astype(np.float32), tc.astype(np.float32))
+        ir = world.render(R.astype(np.float32),
+                          (tc - np.asarray([b, 0, 0])).astype(np.float32))
+        ts_i, acc, gyr = imu_between(prev_t, t, rng=rng, noise_g=2.4e-3,
+                                     noise_a=2.8e-2, pose_fn=pose_fn)
+        st, _ = tr.track_stereo_inertial(il, ir, t, acc, gyr, ts_i)
+        states.append(st)
+        prev_t = t
+    tr.flush()
+    assert tr.imu_ready, "IMU must initialize in this sequence"
+    ok = sum(1 for s in states if s == "OK")
+    assert ok > 0.8 * len(states), (ok, len(states))
+    # inserts beyond capacity => recycled slots passed through the
+    # inertial mapping path
+    assert tr.kf_seq > max_kf + 2, (tr.kf_seq, max_kf)
+    assert tr.n_kf_host <= max_kf
+    traj = tr.trajectory_world()
+    est = np.asarray([p for _, p in traj])
+    assert np.isfinite(est).all()
+    gtp = np.asarray([gt[int(round(ts / 0.05))] for ts, _ in traj])
+    from morb_slam_tpu import alignment
+    rmse, _, _, _ = alignment.ate_rmse(
+        jnp.asarray(est, jnp.float32), jnp.asarray(gtp, jnp.float32),
+        with_scale=False)
+    assert float(rmse) < 0.08, float(rmse)
+    # the preintegration chain stays intact: every valid interval's prev
+    # points at a live keyframe
+    ki = tr.kf_imu
+    valid = np.asarray(ki.valid)
+    prev = np.asarray(ki.prev)
+    kf_valid = np.asarray(tr.m.kf_valid)
+    for k in np.nonzero(valid)[0]:
+        assert prev[k] >= 0 and kf_valid[prev[k]], (k, prev[k])

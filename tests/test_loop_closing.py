@@ -177,7 +177,7 @@ def _drifted_revisit_map(s_drift=1.08, rot_drift=(0.0, 0.03, 0.01),
         ids = views[i] if i < 10 else 512 + views[i]
         first = m_np["lm_ref_kf"][ids] < 0
         m_np["lm_ref_kf"][ids[first]] = i
-        m_np["lm_first_kf"][ids[first]] = i
+        m_np["lm_first_ts"][ids[first]] = float(i)
     m_np["n_kf"] = np.asarray(20)
     m_np["n_lm"] = np.asarray(912)
     m = ms.MapState(**{k: jnp.asarray(v) for k, v in m_np.items()})

@@ -100,3 +100,95 @@ def test_database_query(voc_and_frames):
     assert 5 not in np.asarray(ids)[np.asarray(ok)]
     # best non-excluded candidate should be a spatial neighbor (3 or 7)
     assert int(ids[0]) in (3, 7)
+
+
+def test_grouped_candidate_scoring_suppresses_aliasing():
+    """Covisibility-group accumulation (reference DetectNBestCandidates,
+    KeyFrameDatabase.cc:143-198): an isolated keyframe with the single best
+    score must lose to a covisible CLUSTER of good scores, and keyframes
+    sharing too few words with the query must be prefiltered out."""
+    rng = np.random.default_rng(0)
+    K, W = 12, 64
+    bow = np.zeros((K, W), np.float32)
+    # query overlaps words 0..31
+    q = np.zeros(W, np.float32)
+    q[:32] = rng.random(32) + 0.5
+    q /= q.sum()
+    # cluster 1-2-3: covisible, each scores moderately against q
+    for i in (1, 2, 3):
+        bow[i, :32] = q[:32] + rng.normal(0, 0.004, 32).astype(np.float32)
+        bow[i, 32 + i] = 0.35          # perturb so scores are moderate
+    # keyframe 8: aliased loner with the best SINGLE score
+    bow[8, :32] = q[:32]
+    bow[8] *= 1.0
+    # keyframe 10: high raw similarity but almost no shared words
+    bow[10, 60:] = 1.0
+    bow = np.abs(bow)
+    bow /= np.clip(bow.sum(axis=1, keepdims=True), 1e-9, None)
+    covis = np.zeros((K, K), np.int32)
+    for a in (1, 2, 3):
+        for b in (1, 2, 3):
+            if a != b:
+                covis[a, b] = 50
+    db = database.KeyframeDatabase(bow=jnp.asarray(bow),
+                                   valid=jnp.ones(K, bool))
+    ids, scores, ok = database.top_candidates_grouped(
+        db, jnp.asarray(q), 3, jnp.asarray(covis))
+    ids = np.asarray(ids)
+    ok = np.asarray(ok)
+    winners = set(ids[ok].tolist())
+    # the cluster's best member must be among the winners
+    assert winners & {1, 2, 3}, (ids, scores, ok)
+    assert 10 not in winners
+
+
+def test_orbvoc_text_roundtrip(tmp_path):
+    """Reference ORBvoc text format (TemplatedVocabulary.h:1338-1430):
+    save -> load must reproduce descent (word ids) and weights exactly."""
+    rng = np.random.default_rng(5)
+    descs = rng.integers(0, 2 ** 32, (600, 8), dtype=np.uint32)
+    voc = tree.train(descs, k=4, depth=3, iters=3)
+    p = str(tmp_path / "voc.txt")
+    tree.save_orbvoc_text(voc, p)
+    voc2 = tree.load_orbvoc_text(p)
+    assert voc2.k == voc.k and voc2.depth == voc.depth
+    q = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32))
+    w1 = np.asarray(tree.transform(voc, q))
+    w2 = np.asarray(tree.transform(voc2, q))
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_allclose(np.asarray(voc2.weights),
+                               np.asarray(voc.weights), atol=1e-5)
+
+
+def test_orbvoc_text_incomplete_tree(tmp_path):
+    """A DBoW2 tree with an EARLY LEAF (branch terminated above the word
+    level) must import with the leaf's weight reachable and descent
+    consistent: descriptors equal to the early leaf's center land on its
+    propagated word."""
+    k, depth = 2, 2
+    # root(0) -> nodes 1 (interior), 2 (EARLY LEAF with weight 0.7)
+    # node 1 -> leaves 3, 4
+    d1 = np.zeros(32, np.uint8)                 # node 1 center: zeros
+    d2 = np.full(32, 255, np.uint8)             # node 2 center: ones
+    d3 = np.zeros(32, np.uint8); d3[0] = 1      # leaf 3
+    d4 = np.zeros(32, np.uint8); d4[0] = 3      # leaf 4
+    lines = ["%d %d 0 0" % (k, depth)]
+    def node(parent, leaf, b, w):
+        lines.append("%d %d %s %f"
+                     % (parent, leaf, " ".join(str(x) for x in b), w))
+    node(0, 0, d1, 0.0)     # id 1
+    node(0, 1, d2, 0.7)     # id 2 — early leaf at level 0
+    node(1, 1, d3, 0.3)     # id 3
+    node(1, 1, d4, 0.4)     # id 4
+    p = str(tmp_path / "voc_inc.txt")
+    open(p, "w").write("\n".join(lines) + "\n")
+    voc = tree.load_orbvoc_text(p)
+    assert voc.n_words == 4
+    # a descriptor equal to the early leaf's center must reach its word
+    q_ones = jnp.asarray(tree._bytes_to_u32(d2[None]))
+    wid = int(tree.transform(voc, q_ones)[0])
+    assert float(voc.weights[wid]) == np.float32(0.7)
+    # a descriptor equal to leaf 4's center reaches leaf 4's weight
+    q4 = jnp.asarray(tree._bytes_to_u32(d4[None]))
+    wid4 = int(tree.transform(voc, q4)[0])
+    assert float(voc.weights[wid4]) == np.float32(0.4)
