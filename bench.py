@@ -326,6 +326,56 @@ def multi_session_merge_run():
     return merged, ate
 
 
+def real_imagery_run():
+    """Non-synthetic-texture evidence: mono tracking on frames rendered
+    from REAL PHOTOGRAPHS (sklearn/matplotlib sample photos on the plane
+    world — exact homographies of real imagery, so real gradients, JPEG
+    noise and repetitive man-made texture reach the frontend). Returns
+    (fps, sim3 ATE) or None when no photo ships with the environment."""
+    import jax.numpy as jnp
+    from morb_slam_tpu import alignment, cameras
+    from morb_slam_tpu.pipeline import tracking
+    from synthetic_world import PlaneWorld, camera_path, \
+        real_photo_textures
+
+    photos = real_photo_textures()
+    if not photos:
+        return None
+    W, H, FX = 752, 480, 460.0
+    cam = cameras.pinhole(FX, FX, W / 2, H / 2)
+    K = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    world = PlaneWorld(K, W, H, seed=0, textures=photos)
+    poses = camera_path(70, step=0.05)
+    frames = [np.clip(world.render(R, t), 0, 255).astype(np.uint8)
+              for R, t in poses]
+    cfg = tracking.TrackerConfig(width=W, height=H, focal=FX, n_feat=1200,
+                                 max_kf=256, max_lm=16384, n_levels=8,
+                                 min_init_matches=80, min_init_points=50)
+    tr = tracking.Tracker(cam, cfg)
+    warmup = 20
+    t0 = None
+    for i, img in enumerate(frames):
+        if i == warmup:
+            t0 = time.perf_counter()
+        tr.track_mono(img, ts=float(i))
+    tr.flush()
+    fps = (len(frames) - warmup) / (time.perf_counter() - t0)
+    traj = tr.trajectory_world()
+    est, gt = [], []
+    for ts, p in traj:
+        i = int(round(ts))
+        R, t = poses[i]
+        gt.append(-(R.T @ t))
+        est.append(p)
+    ate = float("nan")
+    if len(est) > 10:
+        rmse, _, _, _ = alignment.ate_rmse(
+            jnp.asarray(np.asarray(est), jnp.float32),
+            jnp.asarray(np.asarray(gt), jnp.float32), with_scale=True)
+        ate = round(float(rmse), 4)
+    return round(fps, 2), ate
+
+
 def euroc_run():
     """Real-dataset gate: the moment EuRoC data is present (env
     MORB_EUROC_ROOT or ./data/euroc/<seq>), run the dataset CLI and report
@@ -408,6 +458,13 @@ def main():
         detail["atlas_merge_ate_sim3_m"] = m_ate
     except Exception as e:
         detail["merge_error"] = str(e)[:120]
+    try:
+        ri = real_imagery_run()
+        if ri is not None:
+            detail["real_imagery_fps"] = ri[0]
+            detail["real_imagery_ate_sim3_m"] = ri[1]
+    except Exception as e:
+        detail["real_imagery_error"] = str(e)[:120]
     try:
         eu = euroc_run()
         if eu is not None:

@@ -340,9 +340,16 @@ def _assemble_blocks(p: BAProblem, R, t, X, lam):
 
 
 def ba_solve_pcg(p: BAProblem, n_iters: int = 8, cg_iters: int = 40,
-                 lambda0: float = 1e-4):
+                 lambda0: float = 1e-4, carry=None):
     """Scalable LM with the Schur system solved by preconditioned CG using an
     IMPLICIT matvec — never materializes the (6K, 3L) off-diagonal block.
+
+    `carry`: optional (R, t, X, lam, cost) from a previous call's
+    info["carry"] — resumes the LM iteration mid-solve. This time-slicing
+    is the TPU-native expression of the reference's DETACHED GBA thread
+    (LoopClosing.cc:1227-1240): the full-map solve advances in bounded
+    slices interleaved with the frame loop (pipeline/global_ba.GBAJob)
+    instead of a concurrent CPU thread.
 
     S x = Hpp x - B Hll^-1 B^T x, where B^T x and B y are two gather +
     segment_sum passes over the observation array (SURVEY.md §7 hard part 3:
@@ -436,11 +443,16 @@ def ba_solve_pcg(p: BAProblem, n_iters: int = 8, cg_iters: int = 40,
         lam = jnp.clip(lam, 1e-9, 1e4)
         return (R, t, X, lam, cost), cost
 
-    cost0 = _cost(p, p.R, p.t, p.X)
+    if carry is None:
+        cost0 = _cost(p, p.R, p.t, p.X)
+        carry0 = (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0)
+    else:
+        carry0 = carry
+        cost0 = carry[4]
     (R, t, X, lam, cost), costs = jax.lax.scan(
-        iteration, (p.R, p.t, p.X, jnp.asarray(lambda0, f32), cost0),
-        None, length=n_iters)
-    return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam}
+        iteration, carry0, None, length=n_iters)
+    return R, t, X, {"cost0": cost0, "costs": costs, "lambda": lam,
+                     "carry": (R, t, X, lam, cost)}
 
 
 _inv6x6 = tpu_linalg.inv6x6

@@ -544,6 +544,9 @@ class LoopCloser:
                 return False
         four_dof = bool(getattr(self.cfg, "inertial", False)) and \
             bool(getattr(tracker, "imu_ready", False))
+        # a loop correction moves the whole map: kill any running detached
+        # GBA first (reference mbStopGBA protocol, LoopClosing.cc:984-1000)
+        tracker._gba_job = None
         pi = np.zeros(MAX_PAST_LOOP_EDGES, np.int32)
         pj = np.zeros(MAX_PAST_LOOP_EDGES, np.int32)
         pok = np.zeros(MAX_PAST_LOOP_EDGES, bool)
@@ -560,11 +563,15 @@ class LoopCloser:
             tracker.m, jnp.asarray(kf_id), jnp.asarray(cand),
             tracker.cam.params, tracker.cam.kind, self.cfg)
         # full-map refinement, the reference's detached GBA thread
-        # (RunGlobalBundleAdjustment); jit dispatch is async so the host
-        # continues immediately. Once the IMU is initialized the reference
-        # runs FullInertialBA instead of visual GBA (LoopClosing.cc:
-        # 2300-2305) — visual GBA would ignore the preintegration chain
-        # and can bend the gravity-aligned gauge.
+        # (RunGlobalBundleAdjustment). Once the IMU is initialized the
+        # reference runs FullInertialBA instead of visual GBA
+        # (LoopClosing.cc:2300-2305) — visual GBA would ignore the
+        # preintegration chain and can bend the gravity-aligned gauge; the
+        # window-bounded inertial solve stays synchronous. The VISUAL GBA
+        # becomes a time-sliced DETACHED job (global_ba.GBAJob): it
+        # advances a couple of LM iterations per subsequent keyframe
+        # insert and reconciles with the live map when done — the loop
+        # closure no longer stalls the frame loop for the whole solve.
         from . import local_mapping
         lm_cfg = self.cfg.lm_cfg if hasattr(self.cfg, "lm_cfg") \
             else self.cfg
@@ -575,8 +582,15 @@ class LoopCloser:
                 lm_cfg, window=32, prior_gyro=1.0, prior_acc=1.0)
         else:
             from . import global_ba
-            tracker.m, _ = global_ba.global_bundle_adjustment(
-                tracker.m, lm_cfg)
+            tracker._gba_job = global_ba.GBAJob(tracker.m, lm_cfg)
+            # polish the weld region below the outlier gates BEFORE the
+            # next local BA runs (a raw post-graph weld still carries
+            # residuals the next insert's chi2 classification would
+            # detach, dissolving the loop constraint); the remaining
+            # slices run detached, one per keyframe insert
+            tracker._gba_job.advance()
+            tracker._gba_job.advance()
+            tracker.m = tracker._gba_job.reconcile(tracker.m)
         # refresh tracker pose anchors after the map moved
         tracker.R_last = tracker.m.kf_R[kf_id]
         tracker.t_last = tracker.m.kf_t[kf_id]
@@ -637,6 +651,7 @@ class LoopCloser:
                     verified.append((int(n_inl), int(ids[c]),
                                      s_c, R_c, t_c))
             if verified:
+                tracker._gba_job = None     # the weld moves the map
                 verified.sort(key=lambda v: -v[0])
                 _, c_best, s, R, t = verified[0]
                 c = int(np.nonzero(np.asarray(ids) == c_best)[0][0])

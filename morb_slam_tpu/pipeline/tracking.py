@@ -1612,10 +1612,17 @@ class Tracker:
         return self.state, (out.R, out.t)
 
     def flush(self):
-        """Resolve the in-flight frames' deferred decisions (call at
-        sequence end or before reading the trajectory/map)."""
+        """Resolve the in-flight frames' deferred decisions and finish any
+        running detached GBA (call at sequence end or before reading the
+        trajectory/map)."""
         while self._pending:
             self._decide_pending(*self._pending.pop(0))
+        job = getattr(self, "_gba_job", None)
+        if job is not None:
+            while not job.advance():
+                pass
+            self.m = job.reconcile(self.m)
+            self._gba_job = None
 
     def _decide_pending(self, out_tuple, ts: float, corr=None):
         """Deferred host decisions for an already-dispatched frame: state
@@ -1988,6 +1995,19 @@ class Tracker:
                 elif self.stash and self.loop_closer.maybe_merge(self, k,
                                                                  bow):
                     self.n_loops_closed += 1
+        # advance any detached GBA by one slice per insert; reconcile the
+        # live map when the last slice lands (reference detached-GBA thread
+        # + RunGlobalBundleAdjustment correction pass)
+        job = getattr(self, "_gba_job", None)
+        if job is not None:
+            with self.timers.stage("GBATotal"):
+                done = job.advance()
+                # progressive reconciliation: each slice's partial result
+                # folds into the live map so interleaved local BAs always
+                # see the best available global state
+                self.m = job.reconcile(self.m)
+                if done:
+                    self._gba_job = None
         self.ref_kf = k
         self.frames_since_kf = 0
         if refresh_anchors:
@@ -2207,6 +2227,7 @@ class Tracker:
 
     def _fresh_map_state(self):
         cfg = self.cfg
+        self._gba_job = None          # any detached GBA is now meaningless
         self.m = ms.empty_map(cfg.max_kf, cfg.n_feat, cfg.max_lm)
         if self.voc is not None:
             from ..vocab import database as kfdb

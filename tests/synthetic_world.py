@@ -32,18 +32,78 @@ def _texture(size, seed, scale=None):
     return cv2.normalize(t, None, 0, 255, cv2.NORM_MINMAX)
 
 
+def real_photo_textures():
+    """Real photographs available in common installed packages (natural
+    image statistics: JPEG noise, real lighting, repetitive man-made
+    texture). Returns a list of float32 grayscale arrays in [0, 255], or
+    an empty list when none are installed."""
+    out = []
+    candidates = []
+    try:
+        import sklearn.datasets
+        import os
+        d = os.path.join(os.path.dirname(sklearn.datasets.__file__),
+                         "images")
+        candidates += [os.path.join(d, f) for f in ("china.jpg",
+                                                    "flower.jpg")]
+    except ImportError:
+        pass
+    try:
+        import matplotlib
+        import os
+        candidates.append(os.path.join(
+            os.path.dirname(matplotlib.__file__),
+            "mpl-data", "sample_data", "grace_hopper.jpg"))
+    except ImportError:
+        pass
+    for p in candidates:
+        img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+        if img is not None:
+            out.append(cv2.normalize(img.astype(np.float32), None, 0, 255,
+                                     cv2.NORM_MINMAX))
+    return out
+
+
 class PlaneWorld:
     """A set of textured planes, each given by an origin + two axes in world
-    coordinates; plane i occludes plane j for i > j (painter's order)."""
+    coordinates; plane i occludes plane j for i > j (painter's order).
 
-    def __init__(self, K, width, height, seed=0):
+    `textures`: optional list of grayscale images used cyclically for the
+    planes (e.g. real_photo_textures() — perspective views of real
+    photographs are exact homographies of real imagery, so the frames
+    carry real texture statistics); default is procedural fractal noise.
+    """
+
+    def __init__(self, K, width, height, seed=0, textures=None):
         self.K = np.asarray(K, np.float64)
         self.w, self.h = width, height
         rng = np.random.default_rng(seed)
         self.planes = []
+        n_tex = [0]
+
+        def tex_for(size, tex_seed):
+            if textures:
+                # distinct random crop + orientation per plane: identical
+                # copies of one photo on many planes alias catastrophically
+                # (every plane matches every other) — real scenes repeat
+                # TEXTURE STATISTICS, not whole surfaces
+                trng = np.random.default_rng(tex_seed + 7777)
+                t = textures[int(trng.integers(len(textures)))]
+                n_tex[0] += 1
+                side = int(min(t.shape) * trng.uniform(0.45, 1.0))
+                y0 = int(trng.integers(0, t.shape[0] - side + 1))
+                x0 = int(trng.integers(0, t.shape[1] - side + 1))
+                sq = t[y0:y0 + side, x0:x0 + side]
+                sq = np.rot90(sq, k=int(trng.integers(4)))
+                if trng.integers(2):
+                    sq = sq[:, ::-1]
+                return cv2.resize(np.ascontiguousarray(sq), (size, size),
+                                  interpolation=cv2.INTER_AREA)
+            return _texture(size, tex_seed)
+
         # back wall at z=8 spanning the whole camera path
         self._add_plane(origin=(-8, -5, 8), ex=(1, 0, 0), ey=(0, 1, 0),
-                        extent=(24, 10), tex=_texture(3072, seed))
+                        extent=(24, 10), tex=tex_for(3072, seed))
         # mid panels staggered along the path (always some near structure
         # in view — an all-distant view makes rotation/translation ambiguous
         # and mono tracking drifts)
@@ -52,14 +112,16 @@ class PlaneWorld:
             oy = rng.uniform(-2.2, 0.4)
             z = rng.uniform(4.5, 5.8)
             self._add_plane(origin=(ox, oy, z), ex=(1, 0, 0), ey=(0, 1, 0),
-                            extent=(2.2, 1.8), tex=_texture(512, seed + k + 1))
+                            extent=(2.2, 1.8),
+                            tex=tex_for(512, seed + k + 1))
         # near posts all along the path at z ~ 3.5
         for k in range(8):
             ox = -2.0 + 1.0 * k + rng.uniform(-0.2, 0.2)
             oy = rng.uniform(-1.3, 0.4)
             z = rng.uniform(3.2, 3.9)
             self._add_plane(origin=(ox, oy, z), ex=(1, 0, 0), ey=(0, 1, 0),
-                            extent=(1.1, 0.9), tex=_texture(256, seed + 20 + k))
+                            extent=(1.1, 0.9),
+                            tex=tex_for(256, seed + 20 + k))
 
     def _add_plane(self, origin, ex, ey, extent, tex):
         self.planes.append(dict(

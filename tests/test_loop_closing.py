@@ -85,7 +85,13 @@ def test_live_loop_closure_ring_circuit():
 
     gap_raw = mean_gap(raw_of)
     gap_post = mean_gap(post_of)
-    assert gap_post < 0.5 * gap_raw, (gap_post, gap_raw)
+    # absolute bound (drift without any closure measures ~0.7-0.8 on this
+    # circuit) + monotonicity. A raw-relative factor would PENALIZE the
+    # detached GBA landing its corrections during the live run (the raw
+    # gap itself shrinks once reconciliation folds slices into the live
+    # map — that is the feature, not a weaker weld).
+    assert gap_post < 0.3, (gap_post, gap_raw)
+    assert gap_post <= gap_raw + 1e-6, (gap_post, gap_raw)
     # and the resolved trajectory must not be WORSE than the raw one
     common = sorted(set(raw_of) & set(post_of))
     rmse_raw, _, _, _ = alignment.ate_rmse(
